@@ -1,0 +1,96 @@
+"""End-to-end assembly driver (reference: MetaGenomics/main.cpp:23-109).
+
+Phase order and artifact set match the reference exactly:
+  build (or resume via -s from the .unitig checkpoint) -> flow ->
+  contigs1 -> mate-pair merge loop -> contigs2 -> scaffold loop ->
+  contigs3 -> resolve loop -> contigs4,
+with the same loopLimit=15 caps on each of the three driver loops.
+"""
+
+import time
+
+from .config import AssemblerConfig
+from .dataset import Dataset
+from .graph import OverlapGraph
+from .index import OverlapIndex
+
+
+class Assembler:
+    def __init__(self, config: AssemblerConfig, log=print):
+        self.cfg = config
+        self.log = log
+        self.timings = {}
+
+    def _timed(self, name, fn, *args):
+        t0 = time.time()
+        result = fn(*args)
+        self.timings[name] = time.time() - t0
+        self.log("Function %s finished in %.6f Seconds." % (name, self.timings[name]))
+        return result
+
+    def run(self):
+        cfg = self.cfg
+        prefix = cfg.output_prefix
+        t_start = time.time()
+        ds = Dataset(cfg.paired_end_files, cfg.single_end_files,
+                     cfg.min_overlap, log=self.log)
+        graph = OverlapGraph(ds, cfg, log=self.log)
+        self.dataset = ds
+        self.graph = graph
+
+        if cfg.resume_from_unitig:
+            # reference resume path (main.cpp:36-42): mate pairs reloaded
+            # WITHOUT contained-read marking, then graph from checkpoint.
+            ds.read_mate_pairs_from_file()
+            graph.read_graph_from_file(prefix + ".unitig")
+            graph.sort_edges()
+        else:
+            index = OverlapIndex(ds, cfg.min_overlap)
+            self._timed("buildOverlapGraphFromHashTable",
+                        graph.build_from_index, index)
+            ds.save_reads(prefix + "_sortedReads.fasta")
+            graph.sort_edges()
+            graph.save_graph_to_file(prefix + ".unitig")
+
+        self._timed("calculateFlow", graph.calculate_flow,
+                    prefix + "_flow.input", prefix + "_flow.output")
+        self.log("nodes: %d edges: %d"
+                 % (graph.number_of_nodes, graph.number_of_edges))
+        graph.print_graph(prefix + "graph1.gdl", prefix + "contigs1.fasta")
+
+        graph.remove_all_simple_edges_without_flow()
+        graph.calculate_mean_and_sd_of_insert_size()
+
+        iteration = 0
+        while True:
+            iteration += 1
+            self.log("FIRST LOOP ITERATION %d" % iteration)
+            graph.simplify_graph()
+            counter = graph.find_support_by_matepairs_and_merge()
+            if not (counter > 0 and iteration < cfg.loop_limit):
+                break
+        graph.print_graph(prefix + "graph2.gdl", prefix + "contigs2.fasta")
+
+        iteration = 0
+        while True:
+            iteration += 1
+            self.log("SECOND LOOP ITERATION %d" % iteration)
+            graph.simplify_graph()
+            counter = graph.scaffolder()
+            if not (counter > 0 and iteration < cfg.loop_limit):
+                break
+        graph.print_graph(prefix + "graph3.gdl", prefix + "contigs3.fasta")
+
+        iteration = 0
+        while True:
+            iteration += 1
+            self.log("THIRD LOOP ITERATION %d" % iteration)
+            graph.simplify_graph()
+            counter = graph.resolve_nodes()
+            if not (counter > 0 and iteration < cfg.loop_limit):
+                break
+        graph.print_graph(prefix + "graph4.gdl", prefix + "contigs4.fasta")
+
+        self.timings["total"] = time.time() - t_start
+        self.log("Assembly finished in %.3f seconds" % self.timings["total"])
+        return graph

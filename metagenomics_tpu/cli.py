@@ -1,0 +1,77 @@
+"""Command-line driver, flag-compatible with the reference
+(MetaGenomics/main.cpp:117-184):
+
+    python -m metagenomics_tpu.cli -pe N f1..fN -se N f1..fN -f prefix \
+        -l minOverlap [-s]
+"""
+
+import sys
+
+from .config import AssemblerConfig
+from .assembler import Assembler
+
+_USAGE = """Usage: metagenomics_tpu [OPTION]...[PRARAM]...
+  -pe\tnumber of files and paired-end file names
+  -se\tnumber of files and single-end file names
+  -f\tAll file name prefix
+  -l\tminimum overlap length
+  -s\tstart from unitig graph
+"""
+
+
+def parse_arguments(argv):
+    cfg = AssemblerConfig()
+    if len(argv) <= 1:
+        sys.stderr.write(_USAGE)
+        raise SystemExit(0)
+    i = 1
+    while i < len(argv):
+        a = argv[i]
+        if a == "-pe":
+            i += 1
+            n = int(argv[i])
+            for _ in range(n):
+                i += 1
+                cfg.paired_end_files.append(argv[i])
+        elif a == "-se":
+            i += 1
+            n = int(argv[i])
+            for _ in range(n):
+                i += 1
+                cfg.single_end_files.append(argv[i])
+        elif a == "-f":
+            i += 1
+            cfg.output_prefix = argv[i]
+        elif a == "-l":
+            i += 1
+            cfg.min_overlap = int(argv[i])
+        elif a == "-s":
+            cfg.resume_from_unitig = True
+        elif a in ("-h", "--help"):
+            sys.stderr.write(_USAGE)
+            raise SystemExit(0)
+        else:
+            sys.stderr.write(_USAGE)
+            sys.stderr.write("Unknown option: %s\n\n" % a)
+            raise SystemExit(1)
+        i += 1
+    return cfg
+
+
+def main(argv=None):
+    import os
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        # Some plugin environments override the env var; config.update is
+        # authoritative and must run before backend initialization.
+        import jax
+        jax.config.update("jax_platforms", platforms)
+    argv = argv if argv is not None else sys.argv
+    print("PRINTING ARGUMENTS")
+    print(" ".join(argv))
+    cfg = parse_arguments(argv)
+    Assembler(cfg).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,283 @@
+"""Dataset: ingest, QC, canonicalize, sort, dedup, mate-pair store.
+
+Replaces the reference's per-read object pipeline (MetaGenomics/Dataset.cpp)
+with a padded-array pipeline: QC and canonicalization run as batched JAX
+kernels over all records of a file at once (ops/packing.py); sorting and
+dedup run over packed uint64 limbs so comparisons are vectorized memcmp-style
+instead of std::string compares.
+
+Semantics preserved from the reference:
+* QC: only {A,C,G,T}, < trunc(0.8*len) of any one base, len > minOverlap
+  (Dataset.cpp:160, 398-413).
+* Canonical form: lexicographic min(read, reverse complement)
+  (Dataset.cpp:164-167); ties store the reverse.
+* Lexicographic sort + dedup assigning IDs 1..numberOfUniqueReads with
+  duplicate frequency accumulation (Dataset.cpp:197-202, 316-345).
+* Mate pairs: second pass over PE files; reads located by binary search of
+  the canonical form; contained reads remapped one level to their super
+  read; 2-bit orientation from substring containment of the original line
+  in the (super) read's forward string; per-read dedup of
+  (id, orientation, dataset) triples (Dataset.cpp:208-310, Read.cpp:132-166).
+"""
+
+import numpy as np
+
+from .io.fastx import fastx_records, fastx_pairs
+from .ops import packing
+
+
+def reverse_complement_str(s: str) -> str:
+    return s.translate(_RC_TABLE)[::-1]
+
+
+_RC_TABLE = str.maketrans("ACGT", "TGCA")
+
+
+class MatePair:
+    __slots__ = ("mate_id", "orientation", "dataset")
+
+    def __init__(self, mate_id, orientation, dataset):
+        self.mate_id = mate_id
+        self.orientation = orientation
+        self.dataset = dataset
+
+
+class Dataset:
+    """Sorted, deduplicated canonical reads plus mate-pair metadata.
+
+    Reads are 1-indexed (index 0 unused) to match reference IDs.
+    """
+
+    def __init__(self, pe_files, se_files, min_overlap, log=print):
+        self.pe_files = list(pe_files)
+        self.se_files = list(se_files)
+        self.min_overlap = int(min_overlap)
+        self.log = log
+
+        self.number_of_reads = 0
+        self.shortest_read_length = None
+        self.longest_read_length = None
+
+        all_codes = []
+        all_lengths = []
+        counter = 0
+        for path in self.pe_files + self.se_files:
+            good, bad, codes, lengths = self._read_file(path, counter)
+            counter += 1
+            all_codes.append(codes)
+            all_lengths.append(lengths)
+
+        lmax = max((c.shape[1] for c in all_codes if c.size), default=0)
+        codes = np.full((sum(len(l) for l in all_lengths), lmax),
+                        packing.PAD_CODE, dtype=np.uint8)
+        row = 0
+        for c, l in zip(all_codes, all_lengths):
+            if len(l):
+                codes[row:row + len(l), :c.shape[1]] = c
+                row += len(l)
+        lengths = np.concatenate(all_lengths) if all_lengths else np.zeros(0, np.int64)
+
+        self.log("Shortest read length in all datasets: %5d" % self.shortest_read_length)
+        self.log(" Longest read length in all datasets: %5d" % self.longest_read_length)
+
+        self._sort_and_dedup(codes, lengths)
+
+        # Per-read mutable state used by the graph layer.
+        u = self.number_of_unique_reads
+        self.super_read_id = np.zeros(u + 1, dtype=np.int64)
+        self.mate_pair_lists = [[] for _ in range(u + 1)]
+        # read -> (edge, location) inverted index, maintained by the graph.
+        self.edges_forward = [[] for _ in range(u + 1)]
+        self.loc_forward = [[] for _ in range(u + 1)]
+        self.edges_reverse = [[] for _ in range(u + 1)]
+        self.loc_reverse = [[] for _ in range(u + 1)]
+
+    # ------------------------------------------------------------------ ingest
+
+    def _read_file(self, path, dataset_number):
+        self.log("Reading dataset: %d from file: %s" % (dataset_number, path))
+        seqs = list(fastx_records(path))
+        n = len(seqs)
+        lmax = max((len(s) for s in seqs), default=1)
+        ascii_arr = np.zeros((n, lmax), dtype=np.uint8)
+        lengths = np.zeros(n, dtype=np.int64)
+        for i, s in enumerate(seqs):
+            b = s.encode()
+            ascii_arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+            lengths[i] = len(b)
+        codes = packing.ascii_to_codes(ascii_arr, lengths)
+        good_mask = np.asarray(packing.qc_mask(codes, lengths, self.min_overlap))
+        good = int(good_mask.sum())
+        bad = n - good
+        gcodes = codes[good_mask]
+        glens = lengths[good_mask]
+        canon, _ = packing.canonicalize_codes(gcodes, glens)
+        canon = np.asarray(canon)
+        if good:
+            self.shortest_read_length = (
+                int(glens.min()) if self.shortest_read_length is None
+                else min(self.shortest_read_length, int(glens.min())))
+            self.longest_read_length = (
+                int(glens.max()) if self.longest_read_length is None
+                else max(self.longest_read_length, int(glens.max())))
+        self.number_of_reads += good
+        self.log("%10d good reads in current dataset." % good)
+        self.log("%10d bad reads in current dataset." % bad)
+        self.log("%10d total reads in current dataset." % n)
+        self.log("%10d good reads in all datasets." % self.number_of_reads)
+        return good, bad, canon, glens
+
+    # ------------------------------------------------------- sort/dedup/index
+
+    def _sort_and_dedup(self, codes, lengths):
+        n, lmax = codes.shape
+        limbs = packing.pack_sort_limbs(codes, lengths)
+        order = np.lexsort(tuple(limbs[:, k] for k in range(limbs.shape[1] - 1, -1, -1)))
+        limbs = limbs[order]
+        codes = codes[order]
+        lengths = lengths[order]
+        if n:
+            new_run = np.empty(n, dtype=bool)
+            new_run[0] = True
+            new_run[1:] = (limbs[1:] != limbs[:-1]).any(axis=1)
+            uniq_idx = np.flatnonzero(new_run)
+            freq = np.diff(np.append(uniq_idx, n))
+        else:
+            uniq_idx = np.zeros(0, np.int64)
+            freq = np.zeros(0, np.int64)
+        u = len(uniq_idx)
+        self.number_of_unique_reads = u
+        self.log("Number of unique reads: %d" % u)
+
+        # 1-indexed padded arrays for the device kernels.
+        self.codes_fwd = np.full((u + 1, lmax), packing.PAD_CODE, dtype=np.uint8)
+        self.codes_fwd[1:] = codes[uniq_idx]
+        self.lengths = np.zeros(u + 1, dtype=np.int64)
+        self.lengths[1:] = lengths[uniq_idx]
+        self.frequencies = np.zeros(u + 1, dtype=np.int64)
+        self.frequencies[1:] = freq
+        self.sort_limbs = limbs[uniq_idx]      # for binary-search lookup
+
+        from .ops.packing import reverse_complement_codes
+        self.codes_rev = np.asarray(
+            reverse_complement_codes(self.codes_fwd, self.lengths))
+
+        # Host byte strings for the graph-surgery layer (decoded once).
+        self.read_strs = [b""] * (u + 1)
+        self.read_strs_rev = [b""] * (u + 1)
+        for i in range(1, u + 1):
+            self.read_strs[i] = packing.codes_to_ascii(
+                self.codes_fwd[i], int(self.lengths[i]))
+            self.read_strs_rev[i] = packing.codes_to_ascii(
+                self.codes_rev[i], int(self.lengths[i]))
+
+    # ------------------------------------------------------------- accessors
+
+    def get_string_forward(self, read_id: int) -> bytes:
+        return self.read_strs[read_id]
+
+    def get_string_reverse(self, read_id: int) -> bytes:
+        return self.read_strs_rev[read_id]
+
+    def read_length(self, read_id: int) -> int:
+        return int(self.lengths[read_id])
+
+    def find_read_id(self, seq: str) -> int:
+        """Binary search for a read by string, canonicalizing first
+        (reference: Dataset.cpp:421-455)."""
+        rc = reverse_complement_str(seq)
+        key = seq if seq < rc else rc
+        b = key.encode()
+        n = len(b)
+        arr = np.frombuffer(b, dtype=np.uint8)
+        codes = packing.ascii_to_codes(arr[None, :], np.array([n]))
+        limbs = packing.pack_sort_limbs(codes, np.array([n]))
+        nlimb = self.sort_limbs.shape[1]
+        q = np.zeros(nlimb, dtype=np.uint64)
+        q[: limbs.shape[1]] = limbs[0]
+        lo, hi = 0, len(self.sort_limbs)
+        sl = self.sort_limbs
+        while lo < hi:
+            mid = (lo + hi) // 2
+            row = sl[mid]
+            cmp = 0
+            for k in range(nlimb):
+                if row[k] != q[k]:
+                    cmp = -1 if row[k] < q[k] else 1
+                    break
+            if cmp == 0:
+                return mid + 1
+            if cmp < 0:
+                lo = mid + 1
+            else:
+                hi = mid
+        raise KeyError("String not found in Dataset: " + seq)
+
+    # ----------------------------------------------------------- mate pairs
+
+    def read_mate_pairs_from_file(self):
+        """Second pass over the PE files storing mate-pair info
+        (reference: Dataset.cpp:97-104, 208-310).  Must run after
+        contained-read marking."""
+        for d, path in enumerate(self.pe_files):
+            self._store_mate_pairs(path, d)
+
+    def _store_mate_pairs(self, path, dataset_number):
+        self.log("Store paired-end information of dataset: %d from file: %s"
+                 % (dataset_number, path))
+        good = bad = 0
+        mo = self.min_overlap
+        for s1, s2 in fastx_pairs(path):
+            if len(s1) > mo and len(s2) > mo and _test_read(s1) and _test_read(s2):
+                r1 = self.find_read_id(s1)
+                r2 = self.find_read_id(s2)
+                if self.super_read_id[r1] != 0:
+                    r1 = int(self.super_read_id[r1])
+                if self.super_read_id[r2] != 0:
+                    r2 = int(self.super_read_id[r2])
+                good += 2
+                orient1 = 1 if s1.encode() in self.read_strs[r1] else 0
+                orient2 = 1 if s2.encode() in self.read_strs[r2] else 0
+                self._add_mate_pair(r1, r2, orient1 * 2 + orient2, dataset_number)
+                self._add_mate_pair(r2, r1, orient1 + orient2 * 2, dataset_number)
+            else:
+                bad += 2
+        self.log("%10d reads in %10d mate-pairs are good." % (good, good // 2))
+        self.log("%10d reads in %10d mate-pairs are discarded." % (bad, bad // 2))
+
+    def _add_mate_pair(self, rid, mate_id, orientation, dataset_number):
+        lst = self.mate_pair_lists[rid]
+        for mp in lst:
+            if (mp.mate_id == mate_id and mp.orientation == orientation
+                    and mp.dataset == dataset_number):
+                return
+        lst.append(MatePair(mate_id, orientation, dataset_number))
+
+    # -------------------------------------------------------------- artifacts
+
+    def save_reads(self, path):
+        """Write the sorted-reads debug dump (reference: Dataset.cpp:71-90)."""
+        with open(path, "w") as f:
+            for i in range(1, self.number_of_unique_reads + 1):
+                sup = int(self.super_read_id[i])
+                tag = "Contained in" if sup != 0 else "Noncontained"
+                f.write("%10d %s %10d %s\n"
+                        % (i, tag, sup, self.read_strs[i].decode()))
+
+
+def _test_read(s: str) -> bool:
+    """Host-side QC identical to Dataset::testRead (Dataset.cpp:398-413)."""
+    cnt = [0, 0, 0, 0]
+    for ch in s:
+        if ch == "A":
+            cnt[0] += 1
+        elif ch == "C":
+            cnt[1] += 1
+        elif ch == "G":
+            cnt[2] += 1
+        elif ch == "T":
+            cnt[3] += 1
+        else:
+            return False
+    threshold = int(len(s) * 0.8)
+    return not any(c >= threshold for c in cnt)

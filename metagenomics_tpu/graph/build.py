@@ -1,0 +1,208 @@
+"""Graph construction: contained reads, BFS edge insertion, transitive reduction.
+
+The heavy work — enumerating every (read, position) probe against the l-mer
+index and verifying each hit base-by-base — happens in one shot on device
+(index.OverlapIndex.candidates + ops.overlap.verify_candidates).  The replay
+below then walks the verified hit stream in exactly the reference's BFS order
+(OverlapGraph.cpp:107-218), inserting edges and interleaving Myers transitive
+marking/removal (:574-661) so the final edge set, adjacency ordering and
+interior manifests match the reference's.
+"""
+
+import numpy as np
+
+from ..ops.overlap import verify_candidates
+from .core import Edge
+
+UNEXPLORED, EXPLORED, EXPLORED_MARKED = 0, 1, 2
+VACANT, INPLAY, ELIMINATED = 0, 1, 2
+
+
+class BuildMixin:
+    # ------------------------------------------------------ contained reads
+
+    def mark_contained_reads(self, index, batch=None):
+        """Mark reads fully contained in longer reads
+        (OverlapGraph.cpp:225-290: first super read wins, longer super read
+        replaces)."""
+        ds = self.ds
+        if ds.longest_read_length == ds.shortest_read_length:
+            self.log("All reads are of same length. No contained reads.")
+            return None
+        if batch is None:
+            batch = index.candidates()
+        ok = verify_candidates(ds.codes_fwd, ds.codes_rev, ds.lengths, batch,
+                               index.hash_len, mode="containment")
+        len1 = ds.lengths[batch.r1]
+        len2 = ds.lengths[batch.r2]
+        hits = ok & (len1 > len2)
+        sup = ds.super_read_id
+        lens = ds.lengths
+        counter = 0
+        for k in np.flatnonzero(hits):
+            r1 = int(batch.r1[k])
+            r2 = int(batch.r2[k])
+            if sup[r2] == 0:
+                sup[r2] = r1
+                counter += 1
+            elif lens[r1] > lens[sup[r2]]:
+                sup[r2] = r1
+        contained = int((sup[1:] != 0).sum())
+        self.log("%10d Non-contained reads. (Keep as is)"
+                 % (ds.number_of_unique_reads - contained))
+        self.log("%10d contained reads. (Need to change their mate-pair "
+                 "information)" % contained)
+        return batch
+
+    # --------------------------------------------------------- construction
+
+    def build_from_index(self, index):
+        """buildOverlapGraphFromHashTable equivalent (OverlapGraph.cpp:107-218)."""
+        ds = self.ds
+        u = ds.number_of_unique_reads
+
+        batch = index.candidates()
+        shared = self.mark_contained_reads(index, batch)
+        ds.read_mate_pairs_from_file()
+
+        ok = verify_candidates(ds.codes_fwd, ds.codes_rev, ds.lengths, batch,
+                               index.hash_len, mode="edge")
+        sup = ds.super_read_id
+        keep = ok & (sup[batch.r1] == 0) & (sup[batch.r2] == 0)
+
+        r1 = batch.r1[keep]
+        j = batch.j[keep]
+        r2 = batch.r2[keep]
+        orient = batch.orient[keep]
+        l = index.hash_len
+        len1 = ds.lengths[r1]
+        # hash orient -> edge orientation and offset (OverlapGraph.cpp:550-557):
+        # the edge offset passed to insertEdge is len1 - overlapOffset.
+        is_pre = (orient == 0) | (orient == 2)
+        edge_orient = np.where(orient == 0, 3,
+                       np.where(orient == 1, 0,
+                        np.where(orient == 2, 2, 1))).astype(np.int64)
+        edge_offset = np.where(is_pre, j, len1 - l - j)
+
+        # per-read candidate ranges (candidates are in r1-ascending order)
+        starts = np.searchsorted(r1, np.arange(u + 2))
+        cand = (r2.astype(np.int64), edge_orient, edge_offset.astype(np.int64))
+
+        explored = np.zeros(u + 1, dtype=np.int8)
+        marked = np.zeros(u + 1, dtype=np.int8)
+        adj = self.adj
+
+        def insert_all_edges_of_read(rn):
+            for k in range(starts[rn], starts[rn + 1]):
+                dest = int(cand[0][k])
+                if explored[dest] != UNEXPLORED:
+                    continue
+                self.insert_edge(rn, dest, int(cand[1][k]), int(cand[2][k]))
+            if adj[rn]:
+                adj[rn].sort(key=lambda e: e.offset)
+
+        counter = 0
+        for i in range(1, u + 1):
+            if explored[i] != UNEXPLORED:
+                continue
+            queue = [i]
+            start = 0
+            while start < len(queue):
+                counter += 1
+                read1 = queue[start]
+                start += 1
+                if explored[read1] == UNEXPLORED:
+                    insert_all_edges_of_read(read1)
+                    explored[read1] = EXPLORED
+                if adj[read1]:
+                    if explored[read1] == EXPLORED:
+                        idx1 = 0
+                        while idx1 < len(adj[read1]):
+                            read2 = adj[read1][idx1].destination
+                            if explored[read2] == UNEXPLORED:
+                                queue.append(read2)
+                                insert_all_edges_of_read(read2)
+                                explored[read2] = EXPLORED
+                            idx1 += 1
+                        self.mark_transitive_edges(read1, marked)
+                        explored[read1] = EXPLORED_MARKED
+                    if explored[read1] == EXPLORED_MARKED:
+                        idx1 = 0
+                        while idx1 < len(adj[read1]):
+                            read2 = adj[read1][idx1].destination
+                            if explored[read2] == EXPLORED:
+                                idx2 = 0
+                                while idx2 < len(adj[read2]):
+                                    read3 = adj[read2][idx2].destination
+                                    if explored[read3] == UNEXPLORED:
+                                        queue.append(read3)
+                                        insert_all_edges_of_read(read3)
+                                        explored[read3] = EXPLORED
+                                    idx2 += 1
+                                self.mark_transitive_edges(read2, marked)
+                                explored[read2] = EXPLORED_MARKED
+                            idx1 += 1
+                        self.remove_transitive_edges(read1)
+        self.log("counter: %10d Nodes: %10d Edges: %10d"
+                 % (counter, self.number_of_nodes, self.number_of_edges // 2))
+
+        while True:
+            c = self.contract_composite_paths()
+            c += self.remove_dead_end_nodes()
+            if c == 0:
+                break
+
+    # -------------------------------------------------- transitive reduction
+
+    def mark_transitive_edges(self, read_number, marked):
+        """Myers transitive marking for one node (OverlapGraph.cpp:574-615)."""
+        adj = self.adj
+        for e in adj[read_number]:
+            marked[e.destination] = INPLAY
+        for e in adj[read_number]:
+            read2 = e.destination
+            if marked[read2] == INPLAY:
+                for e2 in adj[read2]:
+                    read3 = e2.destination
+                    if marked[read3] == INPLAY:
+                        t1, t2 = e.orient, e2.orient
+                        if ((t1 in (0, 2) and t2 in (0, 1))
+                                or (t1 in (1, 3) and t2 in (2, 3))):
+                            marked[read3] = ELIMINATED
+        for e in adj[read_number]:
+            if marked[e.destination] == ELIMINATED:
+                e.transitive_flag = True
+                e.reverse.transitive_flag = True
+        for e in adj[read_number]:
+            marked[e.destination] = VACANT
+        marked[read_number] = VACANT
+
+    def remove_transitive_edges(self, read_number):
+        """Remove flagged edges of a node: twins first (swap-with-last),
+        then in-place compaction (OverlapGraph.cpp:623-661)."""
+        adj = self.adj
+        lst = adj[read_number]
+        index = 0
+        while index < len(lst):
+            if lst[index].transitive_flag:
+                twin = lst[index].reverse
+                tl = adj[twin.source]
+                for i1 in range(len(tl)):
+                    if tl[i1] is twin:
+                        tl[i1] = tl[-1]
+                        tl.pop()
+                        if not tl:
+                            self.number_of_nodes -= 1
+                        self.number_of_edges -= 1
+                        break
+            index += 1
+        jj = 0
+        for index in range(len(lst)):
+            if not lst[index].transitive_flag:
+                lst[jj] = lst[index]
+                jj += 1
+            else:
+                self.number_of_edges -= 1
+        del lst[jj:]
+        if not lst:
+            self.number_of_nodes -= 1

@@ -1,0 +1,405 @@
+"""Core edge structure and graph surgery primitives.
+
+Faithful re-expression of the reference's graph layer
+(MetaGenomics/Edge.{h,cpp}, OverlapGraph.cpp) over plain Python structures.
+Operation ORDER is semantics here: adjacency lists append on insert and
+swap-with-last on remove (OverlapGraph.cpp:863-896), twin selection uses
+allocation order (the reference compares heap pointers, :460/:1237; we use a
+monotonically increasing serial assigned at construction), and every sort is
+the same sort the reference performs.  These details determine the byte
+content of the .unitig / contigs / gdl artifacts.
+"""
+
+import math
+
+
+def _i32(v: int) -> int:
+    """C++ (int) cast of a UINT64 expression: truncate to 32-bit signed."""
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def match_edge_type(e1, e2) -> bool:
+    """e1(u,v), e2(v,w): incoming+outgoing at v (OverlapGraph.cpp:19-26)."""
+    if e1.orient in (1, 3) and e2.orient in (2, 3):
+        return True
+    if e1.orient in (0, 2) and e2.orient in (0, 1):
+        return True
+    return False
+
+
+def merged_edge_orientation(e1, e2) -> int:
+    """Orientation composition for connected merges (OverlapGraph.cpp:803-828)."""
+    table = {(0, 0): 0, (0, 1): 1, (1, 2): 0, (1, 3): 1,
+             (2, 0): 2, (2, 1): 3, (3, 2): 2, (3, 3): 3}
+    key = (e1.orient, e2.orient)
+    if key not in table:
+        raise AssertionError("Unable to merge.")
+    return table[key]
+
+
+def twin_edge_orientation(orient: int) -> int:
+    """Twin orientation: 0<->3, 1 and 2 self (OverlapGraph.cpp:841-855)."""
+    return {0: 3, 1: 1, 2: 2, 3: 0}[orient]
+
+
+def is_overlapping_interval(mean1, sd1, mean2, sd2) -> bool:
+    """Coverage-interval overlap with the reference's exact integer quirks
+    (OverlapGraph.cpp:48-55): UINT64 arithmetic truncated through (int),
+    and end1 computed with sd2 (sic)."""
+    start1 = _i32(mean1 - 2 * sd1)
+    end1 = _i32(mean1 + 2 * sd2)
+    start2 = _i32(mean2 - 2 * sd2)
+    end2 = _i32(mean2 + 2 * sd2)
+    return ((start2 <= start1 <= end2) or (start2 <= end1 <= end2)
+            or (start1 <= start2 <= end1) or (start1 <= end2 <= end1))
+
+
+class Edge:
+    """A bidirected edge (u -> v) with its interior read manifest."""
+
+    __slots__ = ("source", "destination", "orient", "offset",
+                 "list_reads", "list_offsets", "list_orients",
+                 "reverse", "flow", "coverage_depth", "sd",
+                 "transitive_flag", "serial")
+
+    def __init__(self, graph, source, destination, orient, offset,
+                 list_reads=None, list_offsets=None, list_orients=None):
+        self.source = source
+        self.destination = destination
+        self.orient = orient
+        self.offset = offset
+        self.list_reads = list_reads if list_reads is not None else []
+        self.list_offsets = list_offsets if list_offsets is not None else []
+        self.list_orients = list_orients if list_orients is not None else []
+        self.reverse = None
+        self.flow = 0
+        self.coverage_depth = 0
+        self.sd = 0
+        self.transitive_flag = False
+        self.serial = graph._next_serial()
+
+    def __repr__(self):  # debug aid only
+        return "Edge(%d,%d,o%d,off%d,%dr,f%d)" % (
+            self.source, self.destination, self.orient, self.offset,
+            len(self.list_reads), self.flow)
+
+
+class GraphCore:
+    def __init__(self, dataset, config, log=print):
+        self.ds = dataset
+        self.cfg = config
+        self.log = log
+        u = dataset.number_of_unique_reads
+        self.adj = [[] for _ in range(u + 1)]
+        self.number_of_nodes = 0
+        self.number_of_edges = 0
+        self.flow_computed = False
+        self.mean_of_insert_sizes = []
+        self.sd_of_insert_sizes = []
+        self._serial = 0
+
+    def _next_serial(self):
+        self._serial += 1
+        return self._serial
+
+    # ------------------------------------------------------------ primitives
+
+    def insert_edge_obj(self, edge):
+        """OverlapGraph::insertEdge(Edge*) (OverlapGraph.cpp:390-400)."""
+        lst = self.adj[edge.source]
+        if not lst:
+            self.number_of_nodes += 1
+        lst.append(edge)
+        self.number_of_edges += 1
+        self.update_read_locations(edge)
+
+    def insert_edge(self, read1, read2, orient, offset):
+        """Create twin pair and insert both (OverlapGraph.cpp:407-419)."""
+        e1 = Edge(self, read1, read2, orient, offset)
+        rev_offset = self.ds.read_length(read2) + offset - self.ds.read_length(read1)
+        e2 = Edge(self, read2, read1, twin_edge_orientation(orient), rev_offset)
+        e1.reverse = e2
+        e2.reverse = e1
+        self.insert_edge_obj(e1)
+        self.insert_edge_obj(e2)
+        return e1
+
+    def remove_edge(self, edge):
+        """Remove twin first then edge, swap-with-last semantics
+        (OverlapGraph.cpp:863-896)."""
+        self.remove_read_locations(edge)
+        self.remove_read_locations(edge.reverse)
+        twin = edge.reverse
+        for lst, target in ((self.adj[edge.destination], twin),
+                            (self.adj[edge.source], edge)):
+            for i in range(len(lst)):
+                if lst[i] is target:
+                    lst[i] = lst[-1]
+                    lst.pop()
+                    if not lst:
+                        self.number_of_nodes -= 1
+                    self.number_of_edges -= 1
+                    break
+
+    def find_edge(self, source, destination):
+        """First edge source->destination (OverlapGraph.cpp:1583-1592)."""
+        for e in self.adj[source]:
+            if e.destination == destination:
+                return e
+        raise AssertionError("Unable to find edge %d -> %d" % (source, destination))
+
+    def is_edge_present(self, source, destination):
+        return any(e.destination == destination for e in self.adj[source])
+
+    # -------------------------------------------------- read location index
+
+    def update_read_locations(self, edge):
+        """Maintain the read -> (edge, offset) inverted index
+        (OverlapGraph.cpp:1048-1071)."""
+        ds = self.ds
+        distance = 0
+        for rid, off, orient in zip(edge.list_reads, edge.list_offsets,
+                                    edge.list_orients):
+            distance += off
+            if orient == 1:
+                ds.edges_forward[rid].append(edge)
+                ds.loc_forward[rid].append(distance)
+            else:
+                ds.edges_reverse[rid].append(edge)
+                ds.loc_reverse[rid].append(distance)
+
+    def remove_read_locations(self, edge):
+        """Swap-with-last removal from the inverted index
+        (OverlapGraph.cpp:1079-1115)."""
+        ds = self.ds
+        for rid in edge.list_reads:
+            for edges, locs in ((ds.edges_forward[rid], ds.loc_forward[rid]),
+                                (ds.edges_reverse[rid], ds.loc_reverse[rid])):
+                j = 0
+                while j < len(edges):
+                    if edges[j] is edge:
+                        edges[j] = edges[-1]
+                        locs[j] = locs[-1]
+                        edges.pop()
+                        locs.pop()
+                    j += 1
+
+    # ------------------------------------------------------------- merging
+
+    def merge_list(self, e1, e2):
+        """Concatenate read manifests across a shared node
+        (OverlapGraph.cpp:760-785)."""
+        reads = list(e1.list_reads)
+        offsets = list(e1.list_offsets)
+        orients = list(e1.list_orients)
+        s = sum(e1.list_offsets)
+        reads.append(e1.destination)
+        # the manifest offset vector is UINT16 in the reference (Edge.h:31)
+        offsets.append((e1.offset - s) & 0xFFFF)
+        orients.append(1 if e1.orient in (1, 3) else 0)
+        reads.extend(e2.list_reads)
+        offsets.extend(e2.list_offsets)
+        orients.extend(e2.list_orients)
+        return reads, offsets, orients
+
+    def merge_edges(self, e1, e2):
+        """Merge e1(u,v)+e2(v,w) into a composite (OverlapGraph.cpp:702-753)."""
+        read1, read2 = e1.source, e2.destination
+        of = merged_edge_orientation(e1, e2)
+        ob = twin_edge_orientation(of)
+        rf, off_f, orf = self.merge_list(e1, e2)
+        fwd = Edge(self, read1, read2, of, e1.offset + e2.offset, rf, off_f, orf)
+        rr, off_r, orr_list = self.merge_list(e2.reverse, e1.reverse)
+        rev = Edge(self, read2, read1, ob,
+                   e2.reverse.offset + e1.reverse.offset, rr, off_r, orr_list)
+        fwd.reverse = rev
+        rev.reverse = fwd
+        flow = min(e1.flow, e2.flow)
+        fwd.flow = flow
+        rev.flow = flow
+        self.insert_edge_obj(fwd)
+        self.insert_edge_obj(rev)
+        e1.flow = e1.flow - flow
+        e1.reverse.flow = e1.flow
+        e2.flow = e2.flow - flow
+        e2.reverse.flow = e2.flow
+        if e1.flow == 0 or flow == 0:
+            self.remove_edge(e1)
+        if e2.flow == 0 or flow == 0:
+            self.remove_edge(e2)
+        return fwd
+
+    # ------------------------------------------------------------- sorting
+
+    def sort_edges(self):
+        """Sort each adjacency by destination id (OverlapGraph.cpp:2799-2808)."""
+        for lst in self.adj:
+            if lst:
+                lst.sort(key=lambda e: e.destination)
+
+    # ----------------------------------------------------- string recovery
+
+    def get_string_in_edge(self, edge) -> bytes:
+        """Reconstruct the sequence spelled by an edge
+        (OverlapGraph.cpp:2009-2041); 'N' marks scaffold gaps."""
+        ds = self.ds
+        read1 = (ds.get_string_forward(edge.source) if edge.orient in (2, 3)
+                 else ds.get_string_reverse(edge.source))
+        read2 = (ds.get_string_forward(edge.destination) if edge.orient in (1, 3)
+                 else ds.get_string_reverse(edge.destination))
+        parts = [read1]
+        prev_len = len(read1)
+        for rid, off, orient in zip(edge.list_reads, edge.list_offsets,
+                                    edge.list_orients):
+            rt = (ds.get_string_forward(rid) if orient == 1
+                  else ds.get_string_reverse(rid))
+            sub_len = len(rt) + off - prev_len
+            if off == prev_len:
+                parts.append(b"N")
+            parts.append(rt[len(rt) - sub_len:] if sub_len > 0 else b"")
+            prev_len = len(rt)
+        if not edge.list_reads:
+            sub_len = len(read2) + edge.offset - len(read1)
+            parts.append(read2[len(read2) - sub_len:] if sub_len > 0 else b"")
+        else:
+            sub_len = edge.reverse.list_offsets[0]
+            parts.append(read2[len(read2) - sub_len:] if sub_len > 0 else b"")
+        return b"".join(parts)
+
+    # ---------------------------------------------------------- artifacts
+
+    _GDL_HEADER = (
+        "graph: {\nlayoutalgorithm :forcedir\nfdmax:704\ntempmax:254\n"
+        "tempmin:0\ntemptreshold:3\ntempscheme:3\ntempfactor:1.08\n"
+        "randomfactor:100\ngravity:0.0\nrepulsion:161\nattraction:43\n"
+        "ignore_singles:yes\nnode.fontname:\"helvB10\"\n"
+        "edge.fontname:\"helvB10\"\nnode.shape:box\nnode.width:80\n"
+        "node.height:20\nnode.borderwidth:1\nnode.bordercolor:31\n")
+
+    _GDL_EDGE_STYLES = {
+        0: "thickness: %d arrowstyle: none backarrowstyle: solid color: red",
+        1: "thickness: %d backarrowstyle:solid arrowstyle:solid color: green",
+        2: "thickness: %d arrowstyle: none color: blue",
+        3: "thickness: %d arrowstyle:solid color: red",
+    }
+
+    def print_graph(self, graph_path, contig_path):
+        """Emit the aiSee GDL graph and the contig FASTA
+        (OverlapGraph.cpp:428-520)."""
+        ds = self.ds
+        contig_edges = []
+        highest_degree = 0
+        highest_degree_node = 0
+        gdl = [self._GDL_HEADER]
+        for i in range(1, ds.number_of_unique_reads + 1):
+            if self.adj[i]:
+                gdl.append('node: { title:"%d" label: "%d" }\n' % (i, i))
+        for i in range(1, ds.number_of_unique_reads + 1):
+            lst = self.adj[i]
+            if not lst:
+                continue
+            if len(lst) > highest_degree:
+                highest_degree = len(lst)
+                highest_degree_node = i
+            for e in lst:
+                if (e.source < e.destination
+                        or (e.source == e.destination
+                            and e.serial < e.reverse.serial)):
+                    contig_edges.append(e)
+                    thickness = 1 if not e.list_reads else 3
+                    style = self._GDL_EDGE_STYLES[e.orient] % thickness
+                    gdl.append(
+                        'edge: { source:"%d" target:"%d" %s label: '
+                        '"(%d,%dx,%d,%d)" }\n'
+                        % (e.source, e.destination, style, e.flow,
+                           e.coverage_depth, e.offset, len(e.list_reads)))
+        gdl.append("}")
+        with open(graph_path, "w") as f:
+            f.write("".join(gdl))
+        self.log("Aisee graph written.")
+
+        # std::sort ascending by offset then reverse (OverlapGraph.cpp:478-479);
+        # stable sort + reverse reproduces the small-range insertion-sort ties.
+        contig_edges.sort(key=lambda e: e.offset)
+        contig_edges.reverse()
+        total = 0
+        with open(contig_path, "w") as f:
+            for idx, e in enumerate(contig_edges):
+                s = self.get_string_in_edge(e)
+                f.write(">contig_%d Flow: %10d Edge  (%10d, %10d) "
+                        "String Length: %10d Coverage: %10d\n"
+                        % (idx + 1, e.flow, e.source, e.destination,
+                           len(s), e.coverage_depth))
+                total += len(s)
+                start = 0
+                while True:
+                    f.write(s[start:start + 100].decode() + "\n")
+                    start += 100
+                    if start >= len(s):
+                        break
+        self.log("Total contig length: %d BP" % total)
+        self.log("Number of Nodes in the graph: %d" % self.number_of_nodes)
+        self.log("Number of Edges in the graph: %d" % (self.number_of_edges // 2))
+
+    def save_graph_to_file(self, path):
+        """Flat numeric unitig checkpoint (OverlapGraph.cpp:1219-1261)."""
+        out = []
+        for i in range(1, len(self.adj)):
+            for e in self.adj[i]:
+                if (e.source < e.destination
+                        or (e.source == e.destination
+                            and e.serial < e.reverse.serial)):
+                    out.extend((e.source, e.destination, e.orient, e.offset,
+                                len(e.list_reads)))
+                    for rid, off, orient in zip(e.list_reads, e.list_offsets,
+                                                e.list_orients):
+                        out.extend((rid, off, orient))
+        with open(path, "w") as f:
+            f.write("".join("%d\n" % v for v in out))
+
+    def read_graph_from_file(self, path):
+        """Rebuild the graph from a unitig checkpoint, deriving each twin
+        edge arithmetically (OverlapGraph.cpp:1270-1367)."""
+        ds = self.ds
+        with open(path) as f:
+            nums = [int(tok) for tok in f.read().split()]
+        # The reference's >> loop appends one spurious 0 after the final
+        # failed extraction and then iterates while i < size-1, which
+        # consumes exactly the real records; equivalently we consume nums.
+        i = 0
+        n = len(nums)
+        while i < n:
+            if i + 5 > n:
+                break
+            source, destination, orientation, offset, nreads = nums[i:i + 5]
+            i += 5
+            lr = nums[i:i + 3 * nreads:3]
+            lo = nums[i + 1:i + 1 + 3 * nreads:3]
+            lor = nums[i + 2:i + 2 + 3 * nreads:3]
+            i += 3 * nreads
+            interior = sum(lo)
+            fwd = Edge(self, source, destination, orientation, offset,
+                       list(lr), list(lo), list(lor))
+            # reverse manifest derived arithmetically
+            rr, ro, rorient = [], [], []
+            size = len(lr)
+            for j in range(size):
+                rr.append(lr[size - j - 1])
+                if j == 0:
+                    length1 = ds.read_length(destination)
+                    off_fwd = offset - interior
+                else:
+                    length1 = ds.read_length(lr[size - j])
+                    off_fwd = lo[size - j]
+                length2 = ds.read_length(lr[size - j - 1])
+                ro.append((length1 + off_fwd - length2) & 0xFFFF)
+                rorient.append(0 if lor[size - j - 1] else 1)
+            rev_offset = offset + ds.read_length(destination) - ds.read_length(source)
+            rev = Edge(self, destination, source,
+                       twin_edge_orientation(orientation), rev_offset,
+                       rr, ro, rorient)
+            fwd.reverse = rev
+            rev.reverse = fwd
+            self.insert_edge_obj(fwd)
+            self.insert_edge_obj(rev)

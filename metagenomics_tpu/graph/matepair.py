@@ -1,0 +1,277 @@
+"""Mate-pair phase: insert-size estimation and path-supported edge merging.
+
+Replicates OverlapGraph::calculateMeanAndSdOfInsertSize (OverlapGraph.cpp:
+1124-1211), findPathBetweenMatepairs (:1645-1730), exploreGraph (:1781-1870,
+including its quirky first-path-wins flag intersection, the depth-100 cap and
+the "destination reached outside the insert window -> keep exploring through
+it" behaviour) and findSupportByMatepairsAndMerge (:1892-2002).
+
+All unsigned-underflow behaviours of the C++ (UINT64 mean - 3*SD etc.) are
+reproduced with explicit 64-bit wrapping.
+"""
+
+from .core import match_edge_type
+
+M64 = (1 << 64) - 1
+
+
+def _u64(x):
+    return x & M64
+
+
+class _PairSupport:
+    __slots__ = ("edge1", "edge2", "support", "distance", "is_freed")
+
+    def __init__(self, edge1, edge2):
+        self.edge1 = edge1
+        self.edge2 = edge2
+        self.support = 1
+        self.distance = 0
+        self.is_freed = False
+
+
+class MatePairMixin:
+    def get_mean(self, d):
+        return self.mean_of_insert_sizes[d]
+
+    def get_sd(self, d):
+        return self.sd_of_insert_sizes[d]
+
+    # ------------------------------------------------- insert-size estimate
+
+    def calculate_mean_and_sd_of_insert_size(self):
+        ds = self.ds
+        if not ds.pe_files:
+            return
+        for d in range(len(ds.pe_files)):
+            self.log("Calculating mean and SD of dataset: %d" % d)
+            insert_sizes = []
+            for i in range(1, ds.number_of_unique_reads + 1):
+                for mp in ds.mate_pair_lists[i]:
+                    if mp.dataset != d:
+                        continue
+                    edges1 = ds.edges_forward[i] + ds.edges_reverse[i]
+                    locs1 = ds.loc_forward[i] + ds.loc_reverse[i]
+                    r2 = mp.mate_id
+                    edges2 = ds.edges_forward[r2] + ds.edges_reverse[r2]
+                    locs2 = ds.loc_forward[r2] + ds.loc_reverse[r2]
+                    for k in range(len(edges1)):
+                        for l in range(len(edges2)):
+                            if (edges1[k] is edges2[l]
+                                    and locs1[k] > locs2[l]
+                                    and locs1[k] - locs2[l] < 1000):
+                                insert_sizes.append(locs1[k] - locs2[l])
+            if not insert_sizes:
+                self.log("No insert-size found for dataset: %d" % d)
+                self.mean_of_insert_sizes.append(0)
+                self.sd_of_insert_sizes.append(0)
+                continue
+            total = sum(insert_sizes)
+            mean = total // len(insert_sizes)
+            variance = 0
+            for x in insert_sizes:
+                variance = _u64(variance + _u64(mean - x) * _u64(mean - x))
+            import math
+            sd = int(math.sqrt(variance // len(insert_sizes)))
+            self.mean_of_insert_sizes.append(mean)
+            self.sd_of_insert_sizes.append(sd)
+            self.log("Mean set to: %d" % mean)
+            self.log("SD set to: %d" % sd)
+            self.log("Reads on same edge: %d" % len(insert_sizes))
+
+    # ------------------------------------------------------- path discovery
+
+    def find_path_between_matepairs(self, r1, r2, orient, dataset_number,
+                                    copy_of_path, copy_of_flags):
+        """Returns False iff the pair lies on one edge (OverlapGraph.cpp:
+        1645-1730); fills copy_of_path / copy_of_flags with the supported
+        adjacency chain."""
+        ds = self.ds
+        copy_of_path.clear()
+        copy_of_flags.clear()
+        if orient in (2, 3):
+            list1 = ds.edges_forward[r1]
+            loc1 = ds.loc_forward[r1]
+        else:
+            list1 = ds.edges_reverse[r1]
+            loc1 = ds.loc_reverse[r1]
+        if orient in (0, 2):
+            list2 = ds.edges_forward[r2]
+            loc2 = ds.loc_forward[r2]
+        else:
+            list2 = ds.edges_reverse[r2]
+            loc2 = ds.loc_reverse[r2]
+
+        if not list1 or not list2:
+            return False
+        for fe in list1:
+            for le in list2:
+                if fe is le or fe is le.reverse:
+                    return False
+
+        mean = self.get_mean(dataset_number)
+        sd = self.get_sd(dataset_number)
+        hi = mean + 3 * sd
+        for i in range(len(list1)):
+            for jj in range(len(list2)):
+                first_edge = list1[i]
+                last_edge = list2[jj]
+                d_first = _u64(first_edge.offset - loc1[i])
+                d_last = loc2[jj]
+                if _u64(d_first + d_last) < hi:
+                    first_path = []
+                    flags = []
+                    new_paths = self._explore_graph(
+                        first_edge, last_edge, d_first, d_last,
+                        dataset_number, first_path, flags)
+                    if new_paths > 0:
+                        if not copy_of_path:
+                            copy_of_path.extend(first_path)
+                            copy_of_flags.extend(flags[:len(first_path) - 1])
+                        else:
+                            for k in range(len(copy_of_path) - 1):
+                                supported = False
+                                for l in range(len(first_path) - 1):
+                                    if (copy_of_path[k] is first_path[l]
+                                            and copy_of_path[k + 1] is first_path[l + 1]
+                                            and flags[l] == 1):
+                                        supported = True
+                                        break
+                                if not supported:
+                                    copy_of_flags[k] = 0
+        return True
+
+    def _explore_graph(self, first_edge, last_edge, dist_first, dist_last,
+                       dataset_number, first_path, flags):
+        """Bounded DFS (OverlapGraph.cpp:1781-1870).  The reference keeps the
+        DFS stack in static vectors resized per level; here they are explicit
+        locals of an iterative-recursive walker with identical semantics."""
+        mean = self.get_mean(dataset_number)
+        sd = self.get_sd(dataset_number)
+        lo = _u64(mean - 3 * sd)
+        hi = _u64(mean + 3 * sd)
+        state = {"path_found": 0}
+        list_of_edges = []
+        path_lengths = []
+
+        def rec(edge, dist_on_first, level):
+            del list_of_edges[level:]
+            del path_lengths[level:]
+            if level > 100:
+                return
+            if level == 0:
+                list_of_edges.append(edge)
+                path_lengths.append(dist_on_first)
+            else:
+                if edge is last_edge:
+                    total = _u64(dist_last + path_lengths[level - 1])
+                    if lo <= total <= hi:
+                        list_of_edges.append(edge)
+                        path_lengths.append(total)
+                        state["path_found"] += 1
+                        if state["path_found"] == 1:
+                            first_path.extend(list_of_edges)
+                            flags.extend([1] * (len(list_of_edges) - 1))
+                        else:
+                            for i in range(len(first_path) - 1):
+                                adjacent = False
+                                for jj in range(len(list_of_edges) - 1):
+                                    if (first_path[i] is list_of_edges[jj]
+                                            and first_path[i + 1]
+                                            is list_of_edges[jj + 1]):
+                                        adjacent = True
+                                        break
+                                if not adjacent:
+                                    flags[i] = 0
+                        return
+                    else:
+                        list_of_edges.append(edge)
+                        path_lengths.append(
+                            _u64(dist_on_first + path_lengths[level - 1]))
+                else:
+                    list_of_edges.append(edge)
+                    path_lengths.append(
+                        _u64(dist_on_first + path_lengths[level - 1]))
+            for next_edge in self.adj[edge.destination]:
+                if (match_edge_type(edge, next_edge)
+                        and path_lengths[level] < hi):
+                    rec(next_edge, next_edge.offset, level + 1)
+
+        rec(first_edge, dist_first, 0)
+        return state["path_found"]
+
+    # ------------------------------------------------------ support + merge
+
+    def find_support_by_matepairs_and_merge(self):
+        ds = self.ds
+        if not self.mean_of_insert_sizes:
+            return 0
+        copy_of_path = []
+        copy_of_flags = []
+        no_paths = paths = mp_same_edge = 0
+        supports = []
+        for i in range(1, ds.number_of_unique_reads + 1):
+            for mp in ds.mate_pair_lists[i]:
+                r2 = mp.mate_id
+                if i > r2:
+                    continue
+                if self.get_mean(mp.dataset) == 0:
+                    continue
+                if self.find_path_between_matepairs(
+                        i, r2, mp.orientation, mp.dataset,
+                        copy_of_path, copy_of_flags):
+                    if len(copy_of_path) == 0:
+                        no_paths += 1
+                    else:
+                        paths += 1
+                else:
+                    mp_same_edge += 1
+                if len(copy_of_path) > 1:
+                    for k in range(len(copy_of_flags)):
+                        if copy_of_flags[k] != 1:
+                            continue
+                        ek, ek1 = copy_of_path[k], copy_of_path[k + 1]
+                        for ps in supports:
+                            if ps.edge1 is ek and ps.edge2 is ek1:
+                                ps.support += 1
+                                break
+                            if (ps.edge2.reverse is ek
+                                    and ps.edge1.reverse is ek1):
+                                ps.support += 1
+                                break
+                        else:
+                            if (ek.source != ek.destination
+                                    or ek1.source != ek1.destination):
+                                supports.append(_PairSupport(ek, ek1))
+
+        supports.sort(key=lambda p: -p.support)
+
+        merged = 0
+        for i, ps in enumerate(supports):
+            if not ps.is_freed and ps.support >= self.cfg.minimum_support:
+                merged += 1
+                self.log("%4d Merging (%10d,%10d) Length: %8d Flow: %3d and "
+                         "(%10d,%10d) Length: %8d Flow: %3d are supported "
+                         "%4d times"
+                         % (i + 1, ps.edge1.source, ps.edge1.destination,
+                            ps.edge1.offset, ps.edge1.flow, ps.edge2.source,
+                            ps.edge2.destination, ps.edge2.offset,
+                            ps.edge2.flow, ps.support))
+                e1f, e1r = ps.edge1, ps.edge1.reverse
+                e2f, e2r = ps.edge2, ps.edge2.reverse
+                self.merge_edges(ps.edge1, ps.edge2)
+                for q in supports[i + 1:]:
+                    if q.edge1 in (e1f, e1r, e2f, e2r):
+                        q.is_freed = True
+                    if q.edge2 in (e1f, e1r, e2f, e2r):
+                        q.is_freed = True
+        self.log("%d Pairs of Edges merged out of %d supported pairs of edges"
+                 % (merged, len(supports)))
+        self.log("No paths found between %d matepairs that are on different "
+                 "edge." % no_paths)
+        self.log("Paths found between %d matepairs that are on different "
+                 "edge." % paths)
+        self.log("Total matepairs on different edges %d" % (paths + no_paths))
+        self.log("Total matepairs on same edge %d" % mp_same_edge)
+        self.log("Total matepairs %d" % (paths + no_paths + mp_same_edge))
+        return merged

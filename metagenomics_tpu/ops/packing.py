@@ -1,0 +1,129 @@
+"""Base packing, reverse complement, canonicalization and QC as device kernels.
+
+The reference assembler works on std::string reads (one malloc'd object per
+read, per-character loops: MetaGenomics/Read.cpp:115-127 reverse complement,
+Dataset.cpp:398-413 QC, Dataset.cpp:160-167 canonicalization).  Here the whole
+dataset is a single padded uint8 array of base *codes* (A=0, C=1, G=2, T=3,
+PAD=4 past each read's length) and every per-base operation is an elementwise
+or gather kernel over the [N, Lmax] array, jitted so XLA fuses the chain
+qc -> rc -> canonical-select into one pass over HBM.
+
+Code values are rank codes (monotone in ASCII: A<C<G<T) so that lexicographic
+comparisons on codes agree with the reference's std::string comparisons.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+PAD_CODE = np.uint8(4)
+
+# ASCII -> rank code lookup (256 entries), non-ACGT maps to 255 (invalid).
+_ASCII_LUT = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _ASCII_LUT[_b] = _i
+_CODE_TO_ASCII = np.frombuffer(b"ACGT?", dtype=np.uint8).copy()
+
+
+def ascii_to_codes(ascii_arr: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Map padded ASCII bytes [N, Lmax] to rank codes; positions >= length
+    become PAD_CODE, invalid characters become 255."""
+    codes = _ASCII_LUT[ascii_arr]
+    mask = np.arange(ascii_arr.shape[1])[None, :] < lengths[:, None]
+    return np.where(mask, codes, PAD_CODE)
+
+
+def codes_to_ascii(codes: np.ndarray, length: int) -> bytes:
+    """Decode one row of rank codes back to an ASCII byte string."""
+    return _CODE_TO_ASCII[np.asarray(codes[:length], dtype=np.uint8)].tobytes()
+
+
+@jax.jit
+def reverse_complement_codes(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Per-row reverse complement honouring each row's length.
+
+    rc[i, k] = 3 - codes[i, L_i - 1 - k] for k < L_i, PAD_CODE otherwise.
+    (complement of rank codes is 3 - c: A<->T, C<->G; reference semantics at
+    MetaGenomics/Read.cpp:115-127.)
+    """
+    n, lmax = codes.shape
+    k = jnp.arange(lmax)[None, :]
+    src = lengths[:, None] - 1 - k
+    valid = k < lengths[:, None]
+    src = jnp.clip(src, 0, lmax - 1)
+    gathered = jnp.take_along_axis(codes, src.astype(jnp.int32), axis=1)
+    return jnp.where(valid, 3 - gathered, PAD_CODE).astype(jnp.uint8)
+
+
+@jax.jit
+def _lex_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise lexicographic a < b for equal-shape padded code arrays."""
+    neq = a != b
+    # index of first difference; lmax if equal
+    lmax = a.shape[1]
+    first = jnp.where(neq.any(axis=1), jnp.argmax(neq, axis=1), lmax)
+    idx = jnp.clip(first, 0, lmax - 1)
+    av = jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    bv = jnp.take_along_axis(b, idx[:, None], axis=1)[:, 0]
+    return (first < lmax) & (av < bv)
+
+
+@jax.jit
+def canonicalize_codes(codes: jnp.ndarray, lengths: jnp.ndarray):
+    """Return (canonical_codes, was_reversed): the lexicographically smaller
+    of each read and its reverse complement (reference: Dataset.cpp:164-167).
+
+    Matches the reference's tie handling: if read == rc the *reverse* is
+    stored (strict less-than keeps the forward only when forward < rc).
+    """
+    rc = reverse_complement_codes(codes, lengths)
+    fwd_less = _lex_less(codes, rc)
+    out = jnp.where(fwd_less[:, None], codes, rc)
+    return out.astype(jnp.uint8), ~fwd_less
+
+
+@partial(jax.jit, static_argnames=("min_overlap",))
+def _qc_kernel(codes, lengths, thresholds, min_overlap):
+    valid_pos = jnp.arange(codes.shape[1])[None, :] < lengths[:, None]
+    ok_chars = jnp.where(valid_pos, codes <= 3, True).all(axis=1)
+    counts = jnp.stack(
+        [jnp.where(valid_pos, codes == c, False).sum(axis=1) for c in range(4)],
+        axis=1,
+    )
+    not_lowcomp = (counts < thresholds[:, None]).all(axis=1)
+    return ok_chars & not_lowcomp & (lengths > min_overlap)
+
+
+def qc_mask(codes, lengths, min_overlap: int):
+    """Good-read mask (reference: Dataset.cpp:160 and testRead at :398-413).
+
+    A read is good iff length > min_overlap, all chars in {A,C,G,T}, and no
+    single base accounts for >= trunc(len * 0.8) positions.  The threshold is
+    computed host-side in float64 to replicate the C++ double->integer
+    truncation exactly (TPUs have no native f64).
+    """
+    thresholds = np.trunc(np.asarray(lengths, dtype=np.float64) * 0.8).astype(np.int64)
+    return _qc_kernel(jnp.asarray(codes), jnp.asarray(lengths),
+                      jnp.asarray(thresholds), min_overlap)
+
+
+def pack_sort_limbs(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Pack rank codes into big-endian uint64 limbs for lexicographic sorting.
+
+    Each limb holds 8 bases at 8 bits (code+1 so that PAD sorts before any
+    base, giving std::string prefix-compare semantics).  np.lexsort /
+    searchsorted over the limb columns then reproduces the reference's
+    lexicographic read sort (Dataset.cpp:197-202) exactly.
+    """
+    n, lmax = codes.shape
+    vals = np.where(
+        np.arange(lmax)[None, :] < lengths[:, None], codes.astype(np.uint64) + 1, 0
+    )
+    nlimb = (lmax + 7) // 8
+    padded = np.zeros((n, nlimb * 8), dtype=np.uint64)
+    padded[:, :lmax] = vals
+    limbs = padded.reshape(n, nlimb, 8)
+    shifts = np.uint64(8) * np.arange(7, -1, -1, dtype=np.uint64)
+    return (limbs << shifts[None, None, :]).sum(axis=2, dtype=np.uint64)

@@ -1,0 +1,68 @@
+"""Golden byte-equality tests against the reference assembler's artifacts.
+
+The fixtures under golden/out/* were produced by the compiled reference
+binary (see golden/make_testdata.py and the harness commit); every staged
+artifact must match byte-for-byte.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "golden")
+
+CONFIGS = {
+    "se_small": ["-se", "1", os.path.join(GOLDEN, "data", "se_small.fasta")],
+    "se_mixlen": ["-se", "1", os.path.join(GOLDEN, "data", "se_mixlen.fasta")],
+    "pe_small": ["-pe", "1", os.path.join(GOLDEN, "data", "pe_small.fasta")],
+    "pe_meta": ["-pe", "1", os.path.join(GOLDEN, "data", "pe_meta.fastq")],
+}
+
+ARTIFACTS = [
+    "_sortedReads.fasta", ".unitig", "_flow.input",
+    "graph1.gdl", "contigs1.fasta", "graph2.gdl", "contigs2.fasta",
+    "graph3.gdl", "contigs3.fasta", "graph4.gdl", "contigs4.fasta",
+]
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_golden_config(name, tmp_path):
+    args = CONFIGS[name]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"   # don't contend for the TPU tunnel in tests
+    proc = subprocess.run(
+        [sys.executable, "-m", "metagenomics_tpu.cli", *args, "-f", "t_",
+         "-l", "40"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    for art in ARTIFACTS:
+        got = (tmp_path / ("t_" + art)).read_bytes()
+        want_path = os.path.join(GOLDEN, "out", name, "g_" + art)
+        want = open(want_path, "rb").read()
+        assert got == want, "artifact mismatch: %s %s" % (name, art)
+
+
+def test_resume_from_unitig(tmp_path):
+    """The -s resume path must reproduce the post-unitig artifacts."""
+    args = CONFIGS["pe_small"]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"   # don't contend for the TPU tunnel in tests
+    import shutil
+    shutil.copy(os.path.join(GOLDEN, "out", "pe_small", "g_.unitig"),
+                tmp_path / "t_.unitig")
+    proc = subprocess.run(
+        [sys.executable, "-m", "metagenomics_tpu.cli", *args, "-f", "t_",
+         "-l", "40", "-s"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    for art in ["contigs1.fasta", "contigs2.fasta", "contigs3.fasta",
+                "contigs4.fasta"]:
+        got = (tmp_path / ("t_" + art)).read_bytes()
+        want = open(os.path.join(GOLDEN, "out", "pe_small", "g_" + art),
+                    "rb").read()
+        assert got == want, "resume artifact mismatch: %s" % art

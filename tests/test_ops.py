@@ -1,0 +1,127 @@
+"""Unit tests for the device kernels against brute-force host references."""
+
+import numpy as np
+import pytest
+
+from metagenomics_tpu.ops import packing
+from metagenomics_tpu.ops.overlap import CandidateBatch, verify_candidates
+from metagenomics_tpu.dataset import reverse_complement_str
+
+
+def _random_reads(rng, n, lmin, lmax):
+    reads = []
+    for _ in range(n):
+        ln = rng.integers(lmin, lmax + 1)
+        reads.append("".join(rng.choice(list("ACGT"), ln)))
+    return reads
+
+
+def _pad(reads):
+    lmax = max(len(r) for r in reads)
+    arr = np.zeros((len(reads), lmax), dtype=np.uint8)
+    lens = np.array([len(r) for r in reads])
+    for i, r in enumerate(reads):
+        arr[i, :len(r)] = np.frombuffer(r.encode(), dtype=np.uint8)
+    return packing.ascii_to_codes(arr, lens), lens
+
+
+def test_reverse_complement_matches_host():
+    rng = np.random.default_rng(0)
+    reads = _random_reads(rng, 50, 5, 60)
+    codes, lens = _pad(reads)
+    rc = np.asarray(packing.reverse_complement_codes(codes, lens))
+    for i, r in enumerate(reads):
+        got = packing.codes_to_ascii(rc[i], len(r)).decode()
+        assert got == reverse_complement_str(r)
+
+
+def test_canonicalize_is_lexicographic_min():
+    rng = np.random.default_rng(1)
+    reads = _random_reads(rng, 100, 4, 40)
+    codes, lens = _pad(reads)
+    canon, was_rev = packing.canonicalize_codes(codes, lens)
+    canon = np.asarray(canon)
+    for i, r in enumerate(reads):
+        rc = reverse_complement_str(r)
+        expect = r if r < rc else rc
+        got = packing.codes_to_ascii(canon[i], len(r)).decode()
+        assert got == expect
+
+
+def test_qc_mask_matches_reference_rules():
+    reads = ["ACGTACGTACGT", "AAAAAAAAAACG", "ACGTNACGTACG", "ACGT",
+             "AAAAAAACGTAC"]
+    codes, lens = _pad(reads)
+    mask = np.asarray(packing.qc_mask(codes, lens, 5))
+    # read 0: fine; read 1: 10 A of 12 >= trunc(9.6)=9 -> bad; read 2: N -> bad
+    # read 3: length 4 <= 5 -> bad; read 4: 7 A of 12 < 9 -> good
+    assert mask.tolist() == [True, False, False, False, True]
+
+
+def test_pack_sort_limbs_orders_like_strings():
+    rng = np.random.default_rng(2)
+    reads = _random_reads(rng, 200, 3, 30)
+    codes, lens = _pad(reads)
+    limbs = packing.pack_sort_limbs(codes, lens)
+    order = np.lexsort(tuple(limbs[:, k] for k in range(limbs.shape[1] - 1, -1, -1)))
+    got = [reads[i] for i in order]
+    assert got == sorted(reads)
+
+
+def test_verify_candidates_edge_mode_brute_force():
+    rng = np.random.default_rng(3)
+    reads = [""] + _random_reads(rng, 30, 20, 40)  # 1-indexed
+    codes, lens = _pad(reads)
+    rev = np.asarray(packing.reverse_complement_codes(codes, lens))
+    l = 7
+    r1s, js, r2s, orients, expect = [], [], [], [], []
+    for r1 in range(1, len(reads)):
+        s1 = reads[r1]
+        for j in range(1, len(s1) - l):
+            for r2 in range(1, len(reads)):
+                s2f = reads[r2]
+                s2r = reverse_complement_str(s2f)
+                for orient in range(4):
+                    s2 = s2f if orient <= 1 else s2r
+                    if orient in (0, 2):
+                        if s1[j:j + l] != s2[:l]:
+                            continue
+                        ok = (len(s1) - j < len(s2)
+                              and s1[j + l:] == s2[l:l + len(s1) - j - l])
+                    else:
+                        if s1[j:j + l] != s2[len(s2) - l:]:
+                            continue
+                        ok = (len(s2) - l >= j
+                              and s1[:j] == s2[len(s2) - l - j:len(s2) - l])
+                    r1s.append(r1)
+                    js.append(j)
+                    r2s.append(r2)
+                    orients.append(orient)
+                    expect.append(ok)
+    batch = CandidateBatch(np.array(r1s), np.array(js), np.array(r2s),
+                           np.array(orients, dtype=np.uint8))
+    got = verify_candidates(codes, rev, lens, batch, l, mode="edge")
+    assert got.tolist() == expect
+
+
+def test_mincostflow_simple():
+    from metagenomics_tpu.mincostflow import solve_min_cost_flow
+    # diamond: 1->2->4 cheap, 1->3->4 expensive, need 2 units 1->4
+    arcs = [
+        (4, 1, 2, 2, 0),          # return arc forces 2 units of circulation
+        (1, 2, 0, 1, 1), (2, 4, 0, 1, 1),
+        (1, 3, 0, 5, 10), (3, 4, 0, 5, 10),
+    ]
+    flows = solve_min_cost_flow(4, arcs)
+    assert flows == [2, 1, 1, 1, 1]
+
+
+def test_mincostflow_lower_bound_forcing():
+    from metagenomics_tpu.mincostflow import solve_min_cost_flow
+    arcs = [
+        (3, 1, 1, 10, 100),       # return
+        (1, 2, 1, 1, 5),          # forced edge
+        (2, 3, 0, 10, 1),
+    ]
+    flows = solve_min_cost_flow(3, arcs)
+    assert flows == [1, 1, 1]
