@@ -28,6 +28,34 @@ class Assembler:
         self.log("Function %s finished in %.6f Seconds." % (name, self.timings[name]))
         return result
 
+    def _build(self, graph):
+        """Run the construction phase with the selected overlap engine.
+
+        Engines (env MGTPU_OVERLAP_ENGINE or config):
+          native — full C++ engine (index/scan/verify/BFS); default when the
+                   library builds, best on hosts with slow device links
+          device — fully device-resident JAX pipeline (the multi-chip
+                   scaling path; best on directly-attached TPUs)
+          host   — numpy join + device verify (reference fallback)
+        All three produce byte-identical graphs (tests/test_golden.py).
+        """
+        import os
+        engine = os.environ.get("MGTPU_OVERLAP_ENGINE",
+                                getattr(self.cfg, "overlap_engine", "auto"))
+        if engine in ("auto", "native") and not os.environ.get(
+                "MGTPU_NO_NATIVE"):
+            if graph.build_full_native():
+                return
+            if engine == "native":
+                raise RuntimeError("native overlap engine unavailable")
+        if engine == "host":
+            index = OverlapIndex(self.dataset, self.cfg.min_overlap)
+            graph.build_from_index(index)
+        else:
+            from .ops.device_overlap import DeviceOverlapPipeline
+            pipeline = DeviceOverlapPipeline(self.dataset, self.cfg.min_overlap)
+            graph.build_from_pipeline(pipeline)
+
     def run(self):
         cfg = self.cfg
         prefix = cfg.output_prefix
@@ -45,9 +73,7 @@ class Assembler:
             graph.read_graph_from_file(prefix + ".unitig")
             graph.sort_edges()
         else:
-            index = OverlapIndex(ds, cfg.min_overlap)
-            self._timed("buildOverlapGraphFromHashTable",
-                        graph.build_from_index, index)
+            self._timed("buildOverlapGraphFromHashTable", self._build, graph)
             ds.save_reads(prefix + "_sortedReads.fasta")
             graph.sort_edges()
             graph.save_graph_to_file(prefix + ".unitig")

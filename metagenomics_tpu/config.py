@@ -54,6 +54,10 @@ class AssemblerConfig:
     similar_edge_frac: int = 20        # lengths/edit distance within 1/20 (5%)
     min_scaffold_overlap: int = 10     # bp needed to join scaffold junction reads
 
+    # --- New-framework options (no reference equivalent) ---
+    use_native_build: bool = True      # C++ construction engine when available
+    overlap_engine: str = "auto"       # auto | native | device | host
+
     @property
     def hash_string_length(self) -> int:
         """l-mer length used for overlap seeding (reference: HashTable.cpp:54)."""

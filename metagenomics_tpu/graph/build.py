@@ -54,15 +54,79 @@ class BuildMixin:
                  "information)" % contained)
         return batch
 
+    def _mark_contained_from_hits(self, batch, cont_ok):
+        """Contained-read replay from a precomputed hit mask (device pipeline
+        already applied the verification and the len1 > len2 filter)."""
+        ds = self.ds
+        if ds.longest_read_length == ds.shortest_read_length:
+            self.log("All reads are of same length. No contained reads.")
+            return
+        sup = ds.super_read_id
+        lens = ds.lengths
+        for k in np.flatnonzero(cont_ok):
+            r1 = int(batch.r1[k])
+            r2 = int(batch.r2[k])
+            if sup[r2] == 0:
+                sup[r2] = r1
+            elif lens[r1] > lens[sup[r2]]:
+                sup[r2] = r1
+        contained = int((sup[1:] != 0).sum())
+        self.log("%10d Non-contained reads. (Keep as is)"
+                 % (ds.number_of_unique_reads - contained))
+        self.log("%10d contained reads. (Need to change their mate-pair "
+                 "information)" % contained)
+
     # --------------------------------------------------------- construction
 
-    def build_from_index(self, index):
-        """buildOverlapGraphFromHashTable equivalent (OverlapGraph.cpp:107-218)."""
+    def build_full_native(self):
+        """Whole construction phase (index, probe scan, containment, BFS,
+        contraction) in the native C++ engine — the fast path when device
+        interconnect bandwidth is poor.  Returns False if unavailable."""
         ds = self.ds
-        u = ds.number_of_unique_reads
+        from .. import native
+        mixed = ds.longest_read_length != ds.shortest_read_length
+        res = native.assemble_native(
+            ds.lengths, ds.codes_fwd, ds.codes_rev,
+            self.cfg.hash_string_length, mixed, self.cfg.dead_end_length)
+        if res is None:
+            return False
+        ds.super_read_id[:] = res["supers"]
+        if mixed:
+            contained = int((ds.super_read_id[1:] != 0).sum())
+            self.log("%10d Non-contained reads. (Keep as is)"
+                     % (ds.number_of_unique_reads - contained))
+            self.log("%10d contained reads. (Need to change their mate-pair "
+                     "information)" % contained)
+        else:
+            self.log("All reads are of same length. No contained reads.")
+        ds.read_mate_pairs_from_file()
+        self._load_native_result(res)
+        self.log("counter: %10d Nodes: %10d Edges: %10d"
+                 % (ds.number_of_unique_reads, self.number_of_nodes,
+                    self.number_of_edges // 2))
+        return True
+
+    def build_from_pipeline(self, pipeline):
+        """buildOverlapGraphFromHashTable over the fully device-resident
+        overlap pipeline (ops/device_overlap.py)."""
+        ds = self.ds
+        mixed = ds.longest_read_length != ds.shortest_read_length
+        batch, eo, eoff, edge_ok, cont_ok = pipeline.candidates(
+            check_cont=mixed)
+        self._mark_contained_from_hits(batch, cont_ok)
+        ds.read_mate_pairs_from_file()
+        sup = ds.super_read_id
+        keep = edge_ok & (sup[batch.r1] == 0) & (sup[batch.r2] == 0)
+        self._build_from_filtered(batch.r1[keep], batch.r2[keep],
+                                  eo[keep], eoff[keep])
+
+    def build_from_index(self, index):
+        """buildOverlapGraphFromHashTable equivalent (OverlapGraph.cpp:107-218)
+        over the host (numpy) join — fallback/reference path."""
+        ds = self.ds
 
         batch = index.candidates()
-        shared = self.mark_contained_reads(index, batch)
+        self.mark_contained_reads(index, batch)
         ds.read_mate_pairs_from_file()
 
         ok = verify_candidates(ds.codes_fwd, ds.codes_rev, ds.lengths, batch,
@@ -72,7 +136,6 @@ class BuildMixin:
 
         r1 = batch.r1[keep]
         j = batch.j[keep]
-        r2 = batch.r2[keep]
         orient = batch.orient[keep]
         l = index.hash_len
         len1 = ds.lengths[r1]
@@ -83,10 +146,32 @@ class BuildMixin:
                        np.where(orient == 1, 0,
                         np.where(orient == 2, 2, 1))).astype(np.int64)
         edge_offset = np.where(is_pre, j, len1 - l - j)
+        self._build_from_filtered(r1, batch.r2[keep], edge_orient, edge_offset)
 
+    def _build_from_filtered(self, r1, r2, edge_orient, edge_offset):
+        """Replay construction over the filtered candidate stream (native
+        engine when available, else pure Python)."""
+        ds = self.ds
+        u = ds.number_of_unique_reads
         # per-read candidate ranges (candidates are in r1-ascending order)
         starts = np.searchsorted(r1, np.arange(u + 2))
-        cand = (r2.astype(np.int64), edge_orient, edge_offset.astype(np.int64))
+        cand = (r2.astype(np.int64), edge_orient.astype(np.int64),
+                edge_offset.astype(np.int64))
+
+        import os
+        if (getattr(self.cfg, "use_native_build", True)
+                and not os.environ.get("MGTPU_NO_NATIVE")):
+            from .. import native
+            res = native.build_graph_native(
+                ds.lengths, (ds.super_read_id != 0).astype(np.uint8),
+                starts, cand[0], cand[1].astype(np.int8), cand[2],
+                self.cfg.dead_end_length)
+            if res is not None:
+                self._load_native_result(res)
+                self.log("counter: %10d Nodes: %10d Edges: %10d"
+                         % (u, self.number_of_nodes,
+                            self.number_of_edges // 2))
+                return
 
         explored = np.zeros(u + 1, dtype=np.int8)
         marked = np.zeros(u + 1, dtype=np.int8)
@@ -151,6 +236,59 @@ class BuildMixin:
             c += self.remove_dead_end_nodes()
             if c == 0:
                 break
+
+    def _load_native_result(self, res):
+        """Materialize the native engine's final graph state into the Python
+        edge structure (emission order = node-ascending adjacency order, so
+        appends reproduce adjacency ordering exactly)."""
+        ds = self.ds
+        ne = len(res["src"])
+        edges = [None] * ne
+        src_l = res["src"].tolist()
+        dst_l = res["dst"].tolist()
+        ori_l = res["orient"].tolist()
+        off_l = res["offset"].tolist()
+        ser_l = res["serial"].tolist()
+        twin_l = res["twin_pos"].tolist()
+        ms_l = res["man_start"].tolist()
+        ml_l = res["man_len"].tolist()
+        man_reads = res["man_reads"].tolist()
+        man_offsets = res["man_offsets"].tolist()
+        man_orients = res["man_orients"].tolist()
+        for p in range(ne):
+            s = ms_l[p]
+            ln = ml_l[p]
+            edges[p] = Edge(
+                self, src_l[p], dst_l[p], ori_l[p], off_l[p],
+                man_reads[s:s + ln], man_offsets[s:s + ln],
+                man_orients[s:s + ln], serial=ser_l[p])
+        for p in range(ne):
+            edges[p].reverse = edges[twin_l[p]]
+            self.adj[edges[p].source].append(edges[p])
+        self.number_of_nodes = int(res["n_nodes"])
+        self.number_of_edges = int(res["n_edges"])
+        self._serial = max(self._serial, int(res["serial_counter"]))
+        # read-location lists in the engine's final order (vectorized:
+        # one object-array gather, then per-read C-level slicing)
+        import numpy as _np
+        cf = res["counts_f"].tolist()
+        cr = res["counts_r"].tolist()
+        edge_objs = _np.empty(max(ne, 1), dtype=object)
+        for p in range(ne):
+            edge_objs[p] = edges[p]
+        arr_e = edge_objs[res["loc_edge_pos"]] if ne else \
+            _np.empty(0, dtype=object)
+        ld = res["loc_dist"].tolist()
+        pos = 0
+        for i in range(len(cf)):
+            nf = cf[i]
+            nr = cr[i]
+            ds.edges_forward[i] = arr_e[pos:pos + nf].tolist()
+            ds.loc_forward[i] = ld[pos:pos + nf]
+            pos += nf
+            ds.edges_reverse[i] = arr_e[pos:pos + nr].tolist()
+            ds.loc_reverse[i] = ld[pos:pos + nr]
+            pos += nr
 
     # -------------------------------------------------- transitive reduction
 

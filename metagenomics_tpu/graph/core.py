@@ -64,7 +64,8 @@ class Edge:
                  "transitive_flag", "serial")
 
     def __init__(self, graph, source, destination, orient, offset,
-                 list_reads=None, list_offsets=None, list_orients=None):
+                 list_reads=None, list_offsets=None, list_orients=None,
+                 serial=None):
         self.source = source
         self.destination = destination
         self.orient = orient
@@ -77,7 +78,7 @@ class Edge:
         self.coverage_depth = 0
         self.sd = 0
         self.transitive_flag = False
-        self.serial = graph._next_serial()
+        self.serial = graph._next_serial() if serial is None else serial
 
     def __repr__(self):  # debug aid only
         return "Edge(%d,%d,o%d,off%d,%dr,f%d)" % (

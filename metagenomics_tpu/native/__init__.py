@@ -1,0 +1,164 @@
+"""Loader for the native (C++) graph-construction engine.
+
+Compiles mg_native.cpp on first use (g++ -O2 -shared) and exposes it via
+ctypes.  If no compiler is available the package transparently falls back to
+the pure-Python construction path (same semantics, slower).
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "mg_native.cpp")
+_SO = os.path.join(_DIR, "libmg_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_I8P = ctypes.POINTER(ctypes.c_int8)
+
+
+def _build_lib():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC]
+        subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def get_lib():
+    """Return the loaded library or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                _build_lib()
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            return None
+        lib.mg_build.restype = ctypes.c_void_p
+        lib.mg_build.argtypes = [
+            ctypes.c_int64, _I64P, _U8P, ctypes.c_int64, _I64P, _I64P,
+            _I8P, _I64P, ctypes.c_int64]
+        lib.mg_assemble.restype = ctypes.c_void_p
+        lib.mg_assemble.argtypes = [
+            ctypes.c_int64, _I64P, _U8P, _U8P, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.mg_supers.restype = None
+        lib.mg_supers.argtypes = [ctypes.c_void_p, _I64P]
+        for name in ("mg_num_edges", "mg_num_nodes", "mg_graph_num_edges",
+                     "mg_manifest_len", "mg_serial_counter", "mg_loc_total"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.mg_edges.restype = None
+        lib.mg_edges.argtypes = [ctypes.c_void_p] + [_I64P] * 8
+        lib.mg_manifest.restype = None
+        lib.mg_manifest.argtypes = [ctypes.c_void_p, _I64P, _I64P, _U8P]
+        lib.mg_locations.restype = None
+        lib.mg_locations.argtypes = [ctypes.c_void_p, _I64P, _I64P, _I64P,
+                                     _I64P]
+        lib.mg_free.restype = None
+        lib.mg_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def _p64(a):
+    return a.ctypes.data_as(_I64P)
+
+
+def build_graph_native(lengths, contained, cand_start, cand_dest,
+                       cand_orient, cand_offset, dead_end_length):
+    """Run the native construction engine.  Returns a dict of numpy arrays
+    describing the final graph (emission order = node-ascending adjacency
+    order) or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_reads = len(lengths) - 1
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    contained = np.ascontiguousarray(contained, dtype=np.uint8)
+    cand_start = np.ascontiguousarray(cand_start, dtype=np.int64)
+    cand_dest = np.ascontiguousarray(cand_dest, dtype=np.int64)
+    cand_orient = np.ascontiguousarray(cand_orient, dtype=np.int8)
+    cand_offset = np.ascontiguousarray(cand_offset, dtype=np.int64)
+    h = lib.mg_build(
+        n_reads, _p64(lengths), contained.ctypes.data_as(_U8P),
+        len(cand_dest), _p64(cand_start), _p64(cand_dest),
+        cand_orient.ctypes.data_as(_I8P), _p64(cand_offset),
+        dead_end_length)
+    return _extract_result(lib, h, n_reads, want_supers=False)
+
+
+def assemble_native(lengths, codes_fwd, codes_rev, hash_len, mixed,
+                    dead_end_length, n_threads=None):
+    """Full native overlap-detection + construction (index, probe scan,
+    containment, BFS, contraction).  Returns the graph dict plus a
+    'supers' array, or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    n_reads = len(lengths) - 1
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    codes_fwd = np.ascontiguousarray(codes_fwd, dtype=np.uint8)
+    codes_rev = np.ascontiguousarray(codes_rev, dtype=np.uint8)
+    h = lib.mg_assemble(
+        n_reads, _p64(lengths), codes_fwd.ctypes.data_as(_U8P),
+        codes_rev.ctypes.data_as(_U8P), codes_fwd.shape[1], hash_len,
+        1 if mixed else 0, dead_end_length, n_threads)
+    return _extract_result(lib, h, n_reads, want_supers=True)
+
+
+def _extract_result(lib, h, n_reads, want_supers):
+    try:
+        ne = lib.mg_num_edges(h)
+        ml = lib.mg_manifest_len(h)
+        out = {name: np.empty(ne, dtype=np.int64)
+               for name in ("src", "dst", "orient", "offset", "serial",
+                            "twin_pos", "man_start", "man_len")}
+        lib.mg_edges(h, *[_p64(out[k]) for k in
+                          ("src", "dst", "orient", "offset", "serial",
+                           "twin_pos", "man_start", "man_len")])
+        man_reads = np.empty(ml, dtype=np.int64)
+        man_offsets = np.empty(ml, dtype=np.int64)
+        man_orients = np.empty(ml, dtype=np.uint8)
+        lib.mg_manifest(h, _p64(man_reads), _p64(man_offsets),
+                        man_orients.ctypes.data_as(_U8P))
+        lt = lib.mg_loc_total(h)
+        counts_f = np.empty(n_reads + 1, dtype=np.int64)
+        counts_r = np.empty(n_reads + 1, dtype=np.int64)
+        loc_edge_pos = np.empty(lt, dtype=np.int64)
+        loc_dist = np.empty(lt, dtype=np.int64)
+        lib.mg_locations(h, _p64(counts_f), _p64(counts_r),
+                         _p64(loc_edge_pos), _p64(loc_dist))
+        out.update(
+            man_reads=man_reads, man_offsets=man_offsets,
+            man_orients=man_orients, counts_f=counts_f, counts_r=counts_r,
+            loc_edge_pos=loc_edge_pos, loc_dist=loc_dist,
+            n_nodes=lib.mg_num_nodes(h),
+            n_edges=lib.mg_graph_num_edges(h),
+            serial_counter=lib.mg_serial_counter(h))
+        if want_supers:
+            supers = np.zeros(n_reads + 1, dtype=np.int64)
+            lib.mg_supers(h, _p64(supers))
+            out["supers"] = supers
+        return out
+    finally:
+        lib.mg_free(h)

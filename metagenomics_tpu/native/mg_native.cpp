@@ -1,0 +1,865 @@
+// mg_native.cpp — native graph-construction engine for metagenomics_tpu.
+//
+// Replays the overlap-graph construction (BFS edge insertion with
+// interleaved Myers transitive reduction, then the contraction/dead-end
+// fixpoint) over precomputed, device-verified candidate arrays.  The
+// operation order replicates metagenomics_tpu/graph/{core,build,simplify}.py
+// exactly — adjacency append/swap-remove order, stable sorts, serial
+// numbering, UINT16 manifest offsets — so the resulting graph state
+// (including per-read location-list order) is bit-identical to the Python
+// reference path.  Python remains the oracle; this is the fast path.
+//
+// Build: g++ -O2 -shared -fPIC -o libmg_native.so mg_native.cpp
+// Interface: plain C ABI consumed via ctypes (no pybind11 dependency).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <algorithm>
+#include <chrono>
+#include <deque>
+#include <functional>
+#include <thread>
+#include <vector>
+
+static double now_s() {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+
+static bool profile_enabled() {
+    static int v = -1;
+    if (v < 0) v = getenv("MGTPU_NATIVE_PROFILE") ? 1 : 0;
+    return v != 0;
+}
+
+#define PROF(name, t0) \
+    if (profile_enabled()) \
+        fprintf(stderr, "[mg_native] %-12s %.3fs\n", name, now_s() - (t0));
+
+namespace {
+
+struct Man {            // one interior-read manifest entry (8B, memcpy-able)
+    int32_t rid;
+    uint16_t off;
+    uint8_t orient;
+    uint8_t _pad;
+};
+
+struct Edge {
+    int64_t source;
+    int64_t destination;
+    int32_t orient;
+    int64_t offset;
+    std::vector<Man> man;
+    Edge *twin = nullptr;
+    int64_t serial = 0;
+    bool transitive = false;
+};
+
+struct Graph {
+    int64_t n_reads;
+    const int64_t *lengths;
+    int64_t dead_end_length;
+    std::vector<std::vector<Edge *>> adj;
+    // read -> (edge, location) index, forward/reverse
+    std::vector<std::vector<Edge *>> locf_e, locr_e;
+    std::vector<std::vector<int64_t>> locf_d, locr_d;
+    int64_t n_nodes = 0;
+    int64_t n_edges = 0;
+    int64_t serial = 0;
+    std::deque<Edge> pool;   // arena: stable addresses, freed with the graph
+
+    explicit Graph(int64_t n, const int64_t *lens, int64_t del)
+        : n_reads(n), lengths(lens), dead_end_length(del),
+          adj(n + 1), locf_e(n + 1), locr_e(n + 1),
+          locf_d(n + 1), locr_d(n + 1) {}
+
+    Edge *new_edge(int64_t s, int64_t d, int32_t o, int64_t off) {
+        pool.emplace_back();
+        Edge *e = &pool.back();
+        e->source = s;
+        e->destination = d;
+        e->orient = o;
+        e->offset = off;
+        e->serial = ++serial;
+        return e;
+    }
+
+    void finalize_locations(const int64_t *nodes, size_t nn) {
+        for (size_t ni = 0; ni < nn; ni++) {
+            int64_t i = nodes[ni];
+            for (Edge *e : adj[i]) {
+                int64_t dist = 0;
+                for (size_t k = 0; k < e->man.size(); k++) {
+                    dist += e->man[k].off;
+                    int64_t rid = e->man[k].rid;
+                    if (e->man[k].orient == 1) {
+                        locf_e[rid].push_back(e);
+                        locf_d[rid].push_back(dist);
+                    } else {
+                        locr_e[rid].push_back(e);
+                        locr_d[rid].push_back(dist);
+                    }
+                }
+            }
+        }
+    }
+
+    void insert_edge_obj(Edge *e) {
+        auto &lst = adj[e->source];
+        if (lst.empty()) n_nodes++;
+        lst.push_back(e);
+        n_edges++;
+        // NOTE: read-location upkeep is deferred to finalize_locations():
+        // during construction every read is interior to at most one live
+        // edge-pair, so the final lists are singletons independent of the
+        // push/swap-remove history the reference performs
+        // (OverlapGraph.cpp:1048-1115).
+    }
+
+    void insert_edge(int64_t r1, int64_t r2, int32_t orient, int64_t offset) {
+        Edge *e1 = new_edge(r1, r2, orient, offset);
+        int64_t rev_off = lengths[r2] + offset - lengths[r1];
+        Edge *e2 = new_edge(r2, r1, twin_orient(orient), rev_off);
+        e1->twin = e2;
+        e2->twin = e1;
+        insert_edge_obj(e1);
+        insert_edge_obj(e2);
+    }
+
+    static int32_t twin_orient(int32_t o) {
+        switch (o) {
+            case 0: return 3;
+            case 1: return 1;
+            case 2: return 2;
+            default: return 0;
+        }
+    }
+
+    static bool match_edge_type(const Edge *e1, const Edge *e2) {
+        if ((e1->orient == 1 || e1->orient == 3)
+            && (e2->orient == 2 || e2->orient == 3)) return true;
+        if ((e1->orient == 0 || e1->orient == 2)
+            && (e2->orient == 0 || e2->orient == 1)) return true;
+        return false;
+    }
+
+    static int32_t merged_orient(const Edge *e1, const Edge *e2) {
+        int32_t a = e1->orient, b = e2->orient;
+        if (a == 0 && b == 0) return 0;
+        if (a == 0 && b == 1) return 1;
+        if (a == 1 && b == 2) return 0;
+        if (a == 1 && b == 3) return 1;
+        if (a == 2 && b == 0) return 2;
+        if (a == 2 && b == 1) return 3;
+        if (a == 3 && b == 2) return 2;
+        return 3;  // (3,3)
+    }
+
+    void remove_edge(Edge *e) {
+        Edge *targets[2] = {e->twin, e};
+        int64_t nodes[2] = {e->destination, e->source};
+        for (int k = 0; k < 2; k++) {
+            auto &lst = adj[nodes[k]];
+            for (size_t i = 0; i < lst.size(); i++) {
+                if (lst[i] == targets[k]) {
+                    lst[i] = lst.back();
+                    lst.pop_back();
+                    if (lst.empty()) n_nodes--;
+                    n_edges--;
+                    break;
+                }
+            }
+        }
+    }
+
+    void merge_list(const Edge *e1, const Edge *e2, Edge *out) {
+        out->man.reserve(e1->man.size() + e2->man.size() + 1);
+        out->man = e1->man;
+        int64_t sum = 0;
+        for (const Man &m : e1->man) sum += m.off;
+        Man common;
+        common.rid = (int32_t)e1->destination;
+        common.off = (uint16_t)((e1->offset - sum) & 0xFFFF);
+        common.orient = (e1->orient == 1 || e1->orient == 3) ? 1 : 0;
+        common._pad = 0;
+        out->man.push_back(common);
+        out->man.insert(out->man.end(), e2->man.begin(), e2->man.end());
+    }
+
+    // Construction-phase mergeEdges: flows are all zero pre-flow, so both
+    // source edges are always removed (matches Python merge_edges semantics
+    // with flow==0).
+    void merge_edges(Edge *e1, Edge *e2) {
+        int64_t r1 = e1->source, r2 = e2->destination;
+        int32_t of = merged_orient(e1, e2);
+        Edge *fwd = new_edge(r1, r2, of, e1->offset + e2->offset);
+        merge_list(e1, e2, fwd);
+        Edge *rev = new_edge(r2, r1, twin_orient(of),
+                             e2->twin->offset + e1->twin->offset);
+        merge_list(e2->twin, e1->twin, rev);
+        fwd->twin = rev;
+        rev->twin = fwd;
+        insert_edge_obj(fwd);
+        insert_edge_obj(rev);
+        remove_edge(e1);
+        remove_edge(e2);
+    }
+
+    bool is_edge_present(int64_t s, int64_t d) const {
+        for (const Edge *e : adj[s])
+            if (e->destination == d) return true;
+        return false;
+    }
+
+    int64_t contract_composite_paths(const int64_t *nodes, size_t nn) {
+        int64_t counter = 0;
+        for (size_t ni = 0; ni < nn; ni++) {
+            int64_t i = nodes[ni];
+            if (adj[i].size() == 2) {
+                Edge *e1 = adj[i][0];
+                Edge *e2 = adj[i][1];
+                if (!is_edge_present(e1->destination, e2->destination)) {
+                    if (match_edge_type(e1->twin, e2)
+                        && e1->source != e1->destination) {
+                        merge_edges(e1->twin, e2);
+                        counter++;
+                    }
+                }
+            }
+        }
+        return counter;
+    }
+
+    int64_t remove_dead_end_nodes(const int64_t *node_ids, size_t nn) {
+        std::vector<int64_t> nodes;
+        for (size_t ni = 0; ni < nn; ni++) {
+            int64_t i = node_ids[ni];
+            auto &lst = adj[i];
+            if (lst.empty()) continue;
+            bool flag = false;
+            int64_t in_e = 0, out_e = 0;
+            for (Edge *e : lst) {
+                if ((int64_t)e->man.size() > dead_end_length
+                    || e->source == e->destination) {
+                    flag = true;
+                    break;
+                }
+                if (e->orient == 0 || e->orient == 1) in_e++;
+                else out_e++;
+            }
+            if (!flag && ((in_e > 0 && out_e == 0)
+                          || (in_e == 0 && out_e > 0)))
+                nodes.push_back(i);
+        }
+        for (int64_t nid : nodes) {
+            if (!adj[nid].empty()) {
+                std::vector<Edge *> edges(adj[nid].begin(), adj[nid].end());
+                for (Edge *e : edges) remove_edge(e);
+            }
+        }
+        return (int64_t)nodes.size();
+    }
+
+    void mark_transitive(int64_t rn, int8_t *mark) {
+        for (Edge *e : adj[rn]) mark[e->destination] = 1;  // INPLAY
+        for (Edge *e : adj[rn]) {
+            int64_t r2 = e->destination;
+            if (mark[r2] == 1) {
+                for (Edge *e2 : adj[r2]) {
+                    int64_t r3 = e2->destination;
+                    if (mark[r3] == 1) {
+                        int32_t t1 = e->orient, t2 = e2->orient;
+                        if (((t1 == 0 || t1 == 2) && (t2 == 0 || t2 == 1))
+                            || ((t1 == 1 || t1 == 3) && (t2 == 2 || t2 == 3)))
+                            mark[r3] = 2;  // ELIMINATED
+                    }
+                }
+            }
+        }
+        for (Edge *e : adj[rn]) {
+            if (mark[e->destination] == 2) {
+                e->transitive = true;
+                e->twin->transitive = true;
+            }
+        }
+        for (Edge *e : adj[rn]) mark[e->destination] = 0;
+        mark[rn] = 0;
+    }
+
+    void remove_transitive(int64_t rn) {
+        auto &lst = adj[rn];
+        size_t index = 0;
+        while (index < lst.size()) {
+            if (lst[index]->transitive) {
+                Edge *twin = lst[index]->twin;
+                auto &tl = adj[twin->source];
+                for (size_t i1 = 0; i1 < tl.size(); i1++) {
+                    if (tl[i1] == twin) {
+                        tl[i1] = tl.back();
+                        tl.pop_back();
+                        if (tl.empty()) n_nodes--;
+                        n_edges--;
+                        break;
+                    }
+                }
+            }
+            index++;
+        }
+        size_t jj = 0;
+        for (size_t i = 0; i < lst.size(); i++) {
+            if (!lst[i]->transitive) {
+                lst[jj++] = lst[i];
+            } else {
+                n_edges--;
+            }
+        }
+        lst.resize(jj);
+        if (lst.empty()) n_nodes--;
+    }
+};
+
+struct Result {
+    Graph *g;
+    std::vector<Graph *> extra;   // thread-local graphs (own edge pools)
+    // flattened edge table in emission order
+    std::vector<Edge *> order;
+    std::vector<int64_t> man_start;
+    int64_t total_manifest = 0;
+    std::vector<int64_t> supers;   // contained-read assignment (mg_assemble)
+};
+
+// ---------------------------------------------------------------------------
+// Full overlap-detection engine (exact 128-bit l-mer keys), the host
+// equivalent of the reference's HashTable + probe loops
+// (MetaGenomics/HashTable.cpp:50-221, OverlapGraph.cpp:225-290, 529-565).
+// Exact keys mean the seed always matches, so verification only compares the
+// extension, exactly like the reference's checkOverlap (:354-383).
+// ---------------------------------------------------------------------------
+
+typedef unsigned __int128 key_t128;
+
+struct IndexEntry {
+    key_t128 key;
+    int32_t rid;
+    int8_t orient;
+};
+
+struct EdgeCand {
+    int32_t r1;
+    int32_t r2;
+    int8_t eo;
+    int16_t eoff;
+};
+
+struct ContHit {
+    int32_t r1;
+    int32_t r2;
+};
+
+struct OverlapScratch {
+    std::vector<EdgeCand> cands;
+    std::vector<ContHit> cont;
+};
+
+static inline uint64_t mix_key(key_t128 k) {
+    return (uint64_t)k * 0x9E3779B97F4A7C15ULL
+         ^ (uint64_t)(k >> 64) * 0xC2B2AE3D27D4EB4FULL;
+}
+
+// scan one read range, emitting edge candidates + containment hits in
+// (read asc, j asc, bucket order) — the reference's discovery order
+static void scan_reads(
+    int64_t r_begin, int64_t r_end, const int64_t *lengths,
+    const uint8_t *codes_fwd, const uint8_t *codes_rev, int64_t lmax,
+    int64_t l, bool mixed, const IndexEntry *idx, size_t n_idx,
+    const uint64_t *bloom, const uint32_t *range_tab, int range_shift,
+    OverlapScratch *out) {
+    const key_t128 mask =
+        (l * 2 >= 128) ? ~(key_t128)0 : (((key_t128)1 << (2 * l)) - 1);
+    for (int64_t i = r_begin; i < r_end; i++) {
+        int64_t len1 = lengths[i];
+        if (len1 <= l) continue;
+        const uint8_t *s1 = codes_fwd + i * lmax;
+        // rolling exact key over s1[j .. j+l)
+        key_t128 key = 0;
+        for (int64_t k = 0; k < l; k++) key = (key << 2) | (s1[k] & 3);
+        for (int64_t j = 1; j < len1 - l; j++) {
+            key = ((key << 2) | (s1[j + l - 1] & 3)) & mask;
+            uint64_t h = mix_key(key);
+            uint64_t bit = h & ((1ULL << 24) - 1);
+            if (!(bloom[bit >> 6] >> (bit & 63) & 1)) continue;
+            // lower_bound within the top-bits range bucket
+            uint64_t p = (uint64_t)(key >> range_shift);
+            size_t lo = range_tab[p], hi = range_tab[p + 1];
+            while (lo < hi) {
+                size_t mid = (lo + hi) >> 1;
+                if (idx[mid].key < key) lo = mid + 1;
+                else hi = mid;
+            }
+            for (size_t e = lo; e < n_idx && idx[e].key == key; e++) {
+                int32_t r2 = idx[e].rid;
+                int8_t orient = idx[e].orient;
+                int64_t len2 = lengths[r2];
+                const uint8_t *s2 = (orient <= 1 ? codes_fwd : codes_rev)
+                                    + (int64_t)r2 * lmax;
+                bool is_pre = (orient == 0 || orient == 2);
+                // edge verification (checkOverlap, extension only)
+                bool edge_ok;
+                if (is_pre) {
+                    edge_ok = (len1 - j < len2)
+                        && memcmp(s1 + j + l, s2 + l,
+                                  (size_t)(len1 - j - l)) == 0;
+                } else {
+                    edge_ok = (len2 - l >= j)
+                        && memcmp(s1, s2 + (len2 - l - j), (size_t)j) == 0;
+                }
+                if (edge_ok) {
+                    EdgeCand c;
+                    c.r1 = (int32_t)i;
+                    c.r2 = r2;
+                    if (orient == 0) { c.eo = 3; c.eoff = (int16_t)j; }
+                    else if (orient == 1) { c.eo = 0; c.eoff = (int16_t)(len1 - l - j); }
+                    else if (orient == 2) { c.eo = 2; c.eoff = (int16_t)j; }
+                    else { c.eo = 1; c.eoff = (int16_t)(len1 - l - j); }
+                    out->cands.push_back(c);
+                }
+                if (mixed && len1 > len2) {
+                    // containment (checkOverlapForContainedRead)
+                    int64_t m2 = len2 - l;
+                    bool cont_ok;
+                    if (is_pre) {
+                        cont_ok = (len1 - j - l >= m2)
+                            && memcmp(s1 + j + l, s2 + l, (size_t)m2) == 0;
+                    } else {
+                        cont_ok = (j >= m2)
+                            && memcmp(s1 + j - m2, s2, (size_t)m2) == 0;
+                    }
+                    if (cont_ok)
+                        out->cont.push_back({(int32_t)i, r2});
+                }
+            }
+        }
+    }
+}
+
+}  // namespace
+
+namespace {
+
+
+// BFS + transitive reduction + contraction fixpoint over a node subset
+// (ascending read ids).  The subset must be closed under connectivity of the
+// candidate graph, so per-subset processing equals the reference's global
+// processing restricted to those components.
+void run_construction(Graph *g, const int64_t *nodes, size_t nn,
+                      const int64_t *cand_start, const int64_t *cand_dest,
+                      const int8_t *cand_orient, const int64_t *cand_offset,
+                      int8_t *explored, int8_t *mark) {
+    std::vector<int64_t> queue;
+    auto insert_all = [&](int64_t rn) {
+        for (int64_t k = cand_start[rn]; k < cand_start[rn + 1]; k++) {
+            int64_t dest = cand_dest[k];
+            if (explored[dest] != 0) continue;
+            g->insert_edge(rn, dest, cand_orient[k], cand_offset[k]);
+        }
+        auto &lst = g->adj[rn];
+        if (!lst.empty())
+            std::stable_sort(lst.begin(), lst.end(),
+                             [](const Edge *a, const Edge *b) {
+                                 return a->offset < b->offset;
+                             });
+    };
+
+    for (size_t ni = 0; ni < nn; ni++) {
+        int64_t i = nodes[ni];
+        if (explored[i] != 0) continue;
+        queue.clear();
+        queue.push_back(i);
+        size_t start = 0;
+        while (start < queue.size()) {
+            int64_t read1 = queue[start++];
+            if (explored[read1] == 0) {
+                insert_all(read1);
+                explored[read1] = 1;
+            }
+            if (!g->adj[read1].empty()) {
+                if (explored[read1] == 1) {
+                    for (size_t i1 = 0; i1 < g->adj[read1].size(); i1++) {
+                        int64_t read2 = g->adj[read1][i1]->destination;
+                        if (explored[read2] == 0) {
+                            queue.push_back(read2);
+                            insert_all(read2);
+                            explored[read2] = 1;
+                        }
+                    }
+                    g->mark_transitive(read1, mark);
+                    explored[read1] = 2;
+                }
+                if (explored[read1] == 2) {
+                    for (size_t i1 = 0; i1 < g->adj[read1].size(); i1++) {
+                        int64_t read2 = g->adj[read1][i1]->destination;
+                        if (explored[read2] == 1) {
+                            for (size_t i2 = 0; i2 < g->adj[read2].size();
+                                 i2++) {
+                                int64_t read3 = g->adj[read2][i2]->destination;
+                                if (explored[read3] == 0) {
+                                    queue.push_back(read3);
+                                    insert_all(read3);
+                                    explored[read3] = 1;
+                                }
+                            }
+                            g->mark_transitive(read2, mark);
+                            explored[read2] = 2;
+                        }
+                    }
+                    g->remove_transitive(read1);
+                }
+            }
+        }
+    }
+
+    while (true) {
+        int64_t c = g->contract_composite_paths(nodes, nn);
+        c += g->remove_dead_end_nodes(nodes, nn);
+        if (c == 0) break;
+    }
+    g->finalize_locations(nodes, nn);
+}
+
+Result *finish_result(Graph *g) {
+    Result *res = new Result();
+    res->g = g;
+    for (int64_t i = 1; i <= g->n_reads; i++)
+        for (Edge *e : g->adj[i]) {
+            res->man_start.push_back(res->total_manifest);
+            res->total_manifest += (int64_t)e->man.size();
+            res->order.push_back(e);
+        }
+    return res;
+}
+
+Result *build_core(int64_t n_reads, const int64_t *lengths,
+                   const int64_t *cand_start, const int64_t *cand_dest,
+                   const int8_t *cand_orient, const int64_t *cand_offset,
+                   int64_t dead_end_length) {
+    Graph *g = new Graph(n_reads, lengths, dead_end_length);
+    std::vector<int8_t> explored(n_reads + 1, 0);
+    std::vector<int8_t> mark(n_reads + 1, 0);
+    std::vector<int64_t> all_nodes(n_reads);
+    for (int64_t i = 0; i < n_reads; i++) all_nodes[i] = i + 1;
+    run_construction(g, all_nodes.data(), all_nodes.size(), cand_start,
+                     cand_dest, cand_orient, cand_offset, explored.data(),
+                     mark.data());
+    return finish_result(g);
+}
+
+}  // namespace
+
+extern "C" {
+
+void *mg_build(int64_t n_reads, const int64_t *lengths,
+               const uint8_t *contained, int64_t n_cand,
+               const int64_t *cand_start, const int64_t *cand_dest,
+               const int8_t *cand_orient, const int64_t *cand_offset,
+               int64_t dead_end_length) {
+    (void)contained;   // candidates are pre-filtered; kept for API clarity
+    (void)n_cand;
+    return build_core(n_reads, lengths, cand_start, cand_dest, cand_orient,
+                      cand_offset, dead_end_length);
+}
+
+// Full assembly-construction engine: l-mer index, probe scan with exact
+// 128-bit keys, containment marking, BFS construction, contraction fixpoint.
+// Covers the span insertDataset + buildOverlapGraphFromHashTable of the
+// reference (HashTable.cpp:50, OverlapGraph.cpp:107).
+void *mg_assemble(int64_t n_reads, const int64_t *lengths,
+                  const uint8_t *codes_fwd, const uint8_t *codes_rev,
+                  int64_t lmax, int64_t hash_len, int64_t mixed,
+                  int64_t dead_end_length, int64_t n_threads) {
+    const int64_t l = hash_len;
+    double t0 = now_s();
+    // --- index: 4 exact keys per read in (rid, orient) order -------------
+    std::vector<IndexEntry> idx;
+    idx.reserve(4 * n_reads);
+    for (int64_t i = 1; i <= n_reads; i++) {
+        int64_t len = lengths[i];
+        const uint8_t *f = codes_fwd + i * lmax;
+        const uint8_t *r = codes_rev + i * lmax;
+        key_t128 kpf = 0, ksf = 0, kpr = 0, ksr = 0;
+        for (int64_t k = 0; k < l; k++) {
+            kpf = (kpf << 2) | (f[k] & 3);
+            ksf = (ksf << 2) | (f[len - l + k] & 3);
+            kpr = (kpr << 2) | (r[k] & 3);
+            ksr = (ksr << 2) | (r[len - l + k] & 3);
+        }
+        idx.push_back({kpf, (int32_t)i, 0});
+        idx.push_back({ksf, (int32_t)i, 1});
+        idx.push_back({kpr, (int32_t)i, 2});
+        idx.push_back({ksr, (int32_t)i, 3});
+    }
+    std::stable_sort(idx.begin(), idx.end(),
+                     [](const IndexEntry &a, const IndexEntry &b) {
+                         return a.key < b.key;
+                     });
+    PROF("index", t0); t0 = now_s();
+    // bloom bitmap over mixed hashes (2^24 bits = 2MB, cache-resident)
+    std::vector<uint64_t> bloom((1ULL << 24) / 64, 0);
+    for (const IndexEntry &e : idx) {
+        uint64_t bit = mix_key(e.key) & ((1ULL << 24) - 1);
+        bloom[bit >> 6] |= 1ULL << (bit & 63);
+    }
+    // range table over the top bits of the key: narrows the binary search
+    // to a handful of entries
+    const int TBITS = (2 * (int)l >= 20) ? 20 : 2 * (int)l;
+    const int range_shift = 2 * (int)l - TBITS;
+    std::vector<uint32_t> range_tab((1ULL << TBITS) + 1, 0);
+    for (const IndexEntry &e : idx)
+        range_tab[(uint64_t)(e.key >> range_shift) + 1]++;
+    for (size_t p = 1; p < range_tab.size(); p++)
+        range_tab[p] += range_tab[p - 1];
+
+    PROF("bloom", t0); t0 = now_s();
+    // --- probe scan (threaded over contiguous read ranges) ----------------
+    int nt = (int)n_threads;
+    if (nt < 1) nt = 1;
+    std::vector<OverlapScratch> scratch(nt);
+    if (nt == 1) {
+        scan_reads(1, n_reads + 1, lengths, codes_fwd, codes_rev, lmax, l,
+                   mixed != 0, idx.data(), idx.size(), bloom.data(),
+                   range_tab.data(), range_shift, &scratch[0]);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t per = (n_reads + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            int64_t b = 1 + t * per;
+            int64_t e = std::min(n_reads + 1, b + per);
+            if (b >= e) continue;
+            threads.emplace_back(scan_reads, b, e, lengths, codes_fwd,
+                                 codes_rev, lmax, l, mixed != 0, idx.data(),
+                                 idx.size(), bloom.data(), range_tab.data(),
+                                 range_shift, &scratch[t]);
+        }
+        for (auto &th : threads) th.join();
+    }
+
+    PROF("scan", t0); t0 = now_s();
+    // --- contained-read replay (OverlapGraph.cpp:225-290) -----------------
+    std::vector<int64_t> supers(n_reads + 1, 0);
+    if (mixed) {
+        for (const auto &sc : scratch) {
+            for (const ContHit &hit : sc.cont) {
+                if (supers[hit.r2] == 0) supers[hit.r2] = hit.r1;
+                else if (lengths[hit.r1] > lengths[supers[hit.r2]])
+                    supers[hit.r2] = hit.r1;
+            }
+        }
+    }
+
+    // --- super filter + per-read candidate ranges --------------------------
+    std::vector<int64_t> cstart(n_reads + 2, 0);
+    std::vector<int64_t> cdest;
+    std::vector<int8_t> corient;
+    std::vector<int64_t> coffset;
+    size_t total = 0;
+    for (const auto &sc : scratch) total += sc.cands.size();
+    cdest.reserve(total);
+    corient.reserve(total);
+    coffset.reserve(total);
+    {
+        int64_t cur = 1;
+        for (const auto &sc : scratch) {
+            for (const EdgeCand &c : sc.cands) {
+                if (supers[c.r1] != 0 || supers[c.r2] != 0) continue;
+                while (cur <= c.r1) cstart[cur++] = (int64_t)cdest.size();
+                cdest.push_back(c.r2);
+                corient.push_back(c.eo);
+                coffset.push_back(c.eoff);
+            }
+        }
+        while (cur <= n_reads + 1) cstart[cur++] = (int64_t)cdest.size();
+    }
+
+    PROF("filter", t0); t0 = now_s();
+
+    // --- connected components over the filtered candidate graph -----------
+    std::vector<int32_t> uf(n_reads + 1);
+    for (int64_t i = 0; i <= n_reads; i++) uf[i] = (int32_t)i;
+    std::function<int32_t(int32_t)> find = [&](int32_t x) {
+        while (uf[x] != x) { uf[x] = uf[uf[x]]; x = uf[x]; }
+        return x;
+    };
+    for (int64_t r1 = 1; r1 <= n_reads; r1++)
+        for (int64_t k = cstart[r1]; k < cstart[r1 + 1]; k++) {
+            int32_t a = find((int32_t)r1), b = find((int32_t)cdest[k]);
+            if (a != b) uf[b] = a;
+        }
+    // bucket components across threads, balancing candidate counts
+    std::vector<int64_t> comp_load(n_reads + 1, 0);
+    for (int64_t r1 = 1; r1 <= n_reads; r1++)
+        comp_load[find((int32_t)r1)] += (cstart[r1 + 1] - cstart[r1]) + 1;
+    std::vector<int32_t> roots;
+    for (int64_t i = 1; i <= n_reads; i++)
+        if (find((int32_t)i) == i && comp_load[i] > 1) roots.push_back((int32_t)i);
+    std::sort(roots.begin(), roots.end(), [&](int32_t a, int32_t b) {
+        return comp_load[a] > comp_load[b];
+    });
+    std::vector<int32_t> bucket_of(n_reads + 1, 0);
+    std::vector<int64_t> bucket_load(nt, 0);
+    for (int32_t root : roots) {
+        int best = 0;
+        for (int t = 1; t < nt; t++)
+            if (bucket_load[t] < bucket_load[best]) best = t;
+        bucket_load[best] += comp_load[root];
+        bucket_of[root] = (int32_t)best;
+    }
+    std::vector<std::vector<int64_t>> bucket_nodes(nt);
+    for (int64_t i = 1; i <= n_reads; i++)
+        bucket_nodes[bucket_of[find((int32_t)i)]].push_back(i);
+    PROF("components", t0); t0 = now_s();
+
+    // --- per-bucket construction (disjoint graph rows; no locking) --------
+    std::vector<Graph *> graphs(nt, nullptr);
+    {
+        std::vector<std::thread> workers;
+        for (int t = 0; t < nt; t++) {
+            graphs[t] = new Graph(n_reads, lengths, dead_end_length);
+            graphs[t]->serial = (int64_t)t << 40;
+        }
+        auto work = [&](int t) {
+            std::vector<int8_t> explored(n_reads + 1, 0);
+            std::vector<int8_t> mark(n_reads + 1, 0);
+            run_construction(graphs[t], bucket_nodes[t].data(),
+                             bucket_nodes[t].size(), cstart.data(),
+                             cdest.data(), corient.data(), coffset.data(),
+                             explored.data(), mark.data());
+        };
+        if (nt == 1) work(0);
+        else {
+            for (int t = 0; t < nt; t++) workers.emplace_back(work, t);
+            for (auto &th : workers) th.join();
+        }
+    }
+    // merge rows of buckets 1..nt-1 into bucket 0's graph
+    Graph *g0 = graphs[0];
+    for (int t = 1; t < nt; t++) {
+        Graph *gt = graphs[t];
+        for (int64_t i : bucket_nodes[t]) {
+            g0->adj[i] = std::move(gt->adj[i]);
+            g0->locf_e[i] = std::move(gt->locf_e[i]);
+            g0->locf_d[i] = std::move(gt->locf_d[i]);
+            g0->locr_e[i] = std::move(gt->locr_e[i]);
+            g0->locr_d[i] = std::move(gt->locr_d[i]);
+        }
+        g0->n_nodes += gt->n_nodes;
+        g0->n_edges += gt->n_edges;
+        if (gt->serial > g0->serial) g0->serial = gt->serial;
+    }
+    PROF("build", t0); t0 = now_s();
+    Result *res = finish_result(g0);
+    for (int t = 1; t < nt; t++) res->extra.push_back(graphs[t]);
+    PROF("finish", t0);
+    res->supers = std::move(supers);
+    return res;
+}
+
+void mg_supers(void *h, int64_t *out) {
+    Result *r = (Result *)h;
+    if (!r->supers.empty())
+        memcpy(out, r->supers.data(), r->supers.size() * sizeof(int64_t));
+}
+
+int64_t mg_num_edges(void *h) { return (int64_t)((Result *)h)->order.size(); }
+int64_t mg_num_nodes(void *h) { return ((Result *)h)->g->n_nodes; }
+int64_t mg_graph_num_edges(void *h) { return ((Result *)h)->g->n_edges; }
+int64_t mg_manifest_len(void *h) { return ((Result *)h)->total_manifest; }
+int64_t mg_serial_counter(void *h) { return ((Result *)h)->g->serial; }
+
+void mg_edges(void *h, int64_t *src, int64_t *dst, int64_t *orient,
+              int64_t *offset, int64_t *serial, int64_t *twin_pos,
+              int64_t *man_start, int64_t *man_len) {
+    Result *r = (Result *)h;
+    // map pointer -> position
+    std::vector<std::pair<Edge *, int64_t>> pos;
+    pos.reserve(r->order.size());
+    for (size_t i = 0; i < r->order.size(); i++)
+        pos.push_back({r->order[i], (int64_t)i});
+    std::sort(pos.begin(), pos.end());
+    auto find_pos = [&](Edge *e) {
+        auto it = std::lower_bound(
+            pos.begin(), pos.end(), std::make_pair(e, (int64_t)-1));
+        return it->second;
+    };
+    for (size_t i = 0; i < r->order.size(); i++) {
+        Edge *e = r->order[i];
+        src[i] = e->source;
+        dst[i] = e->destination;
+        orient[i] = e->orient;
+        offset[i] = e->offset;
+        serial[i] = e->serial;
+        twin_pos[i] = find_pos(e->twin);
+        man_start[i] = r->man_start[i];
+        man_len[i] = (int64_t)e->man.size();
+    }
+}
+
+void mg_manifest(void *h, int64_t *reads, int64_t *offsets, uint8_t *orients) {
+    Result *r = (Result *)h;
+    int64_t p = 0;
+    for (Edge *e : r->order) {
+        for (size_t i = 0; i < e->man.size(); i++, p++) {
+            reads[p] = e->man[i].rid;
+            offsets[p] = e->man[i].off;
+            orients[p] = e->man[i].orient;
+        }
+    }
+}
+
+// final read-location lists (order matters downstream): flattened per read,
+// forward then reverse, as (edge_pos, distance) pairs.
+int64_t mg_loc_total(void *h) {
+    Result *r = (Result *)h;
+    int64_t t = 0;
+    for (int64_t i = 0; i <= r->g->n_reads; i++)
+        t += (int64_t)(r->g->locf_e[i].size() + r->g->locr_e[i].size());
+    return t;
+}
+
+void mg_locations(void *h, int64_t *counts_f, int64_t *counts_r,
+                  int64_t *edge_pos, int64_t *dist) {
+    Result *r = (Result *)h;
+    std::vector<std::pair<Edge *, int64_t>> pos;
+    pos.reserve(r->order.size());
+    for (size_t i = 0; i < r->order.size(); i++)
+        pos.push_back({r->order[i], (int64_t)i});
+    std::sort(pos.begin(), pos.end());
+    auto find_pos = [&](Edge *e) {
+        auto it = std::lower_bound(
+            pos.begin(), pos.end(), std::make_pair(e, (int64_t)-1));
+        return it->second;
+    };
+    int64_t p = 0;
+    for (int64_t i = 0; i <= r->g->n_reads; i++) {
+        counts_f[i] = (int64_t)r->g->locf_e[i].size();
+        counts_r[i] = (int64_t)r->g->locr_e[i].size();
+        for (size_t k = 0; k < r->g->locf_e[i].size(); k++, p++) {
+            edge_pos[p] = find_pos(r->g->locf_e[i][k]);
+            dist[p] = r->g->locf_d[i][k];
+        }
+        for (size_t k = 0; k < r->g->locr_e[i].size(); k++, p++) {
+            edge_pos[p] = find_pos(r->g->locr_e[i][k]);
+            dist[p] = r->g->locr_d[i][k];
+        }
+    }
+}
+
+void mg_free(void *h) {
+    Result *r = (Result *)h;
+    delete r->g;   // edge pools owned by the graphs
+    for (Graph *g : r->extra) delete g;
+    delete r;
+}
+
+}  // extern "C"

@@ -1,0 +1,235 @@
+"""Fully device-resident overlap detection: hash -> join -> verify -> compact.
+
+This is the hot path of the assembler (the reference's insertDataset +
+insertAllEdgesOfRead probe loops, HashTable.cpp:50-104 and
+OverlapGraph.cpp:529-565) re-designed TPU-first:
+
+* read codes are uploaded once; every subsequent step stays in HBM,
+* window keys come from a rolling polynomial hash (one lax.scan over the
+  read length, O(N*Lmax) work instead of O(N*Lmax*l)),
+* the 4-entries-per-read index is sorted on device (stable, so buckets keep
+  the reference's (read id, orient) order),
+* queries are joined by vectorized binary search, candidates are emitted
+  into a static-capacity buffer (cumsum + searchsorted inverse mapping),
+* overlap AND containment verification run inline on the gathered windows,
+* survivors are compacted (stable) and downloaded once per read-chunk.
+
+Hash collisions are harmless: verification compares the full window
+including the seed, so the accepted candidate set is exactly the
+reference's.  Everything is shape-static per (chunk_rows, cap) pair, so each
+tier compiles once; chunk overflow triggers a retry at double capacity.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .overlap import CandidateBatch
+
+_B1 = jnp.uint32(0x01000193)     # FNV prime
+_B2 = jnp.uint32(0x9E3779B1)     # golden-ratio odd constant
+_M1 = jnp.uint32(0x85EBCA6B)
+_M2 = jnp.uint32(0xC2B2AE35)
+
+
+def _pow_u32(base: int, exp: int) -> int:
+    return pow(base, exp, 1 << 32)
+
+
+@partial(jax.jit, static_argnames=("hash_len",))
+def window_hashes_u32(codes, hash_len):
+    """[N, npos] uint32 window hashes via two rolling polynomial hashes."""
+    n, lmax = codes.shape
+    l = hash_len
+    c = (codes.astype(jnp.uint32) & 3) + 1   # avoid zero-absorbing prefixes
+
+    def roll(base):
+        def step(carry, col):
+            h = carry * base + col
+            return h, h
+        cols = jnp.transpose(c)              # [lmax, n]
+        h0 = jnp.zeros((n,), jnp.uint32)
+        _, hs = jax.lax.scan(step, h0, cols)
+        # prefix hashes H[p] = hash of c[:, :p+1]; prepend zero row
+        return jnp.concatenate([jnp.zeros((1, n), jnp.uint32), hs], axis=0)
+
+    h1 = roll(_B1)                           # [lmax+1, n]
+    h2 = roll(_B2)
+    p1 = jnp.uint32(_pow_u32(0x01000193, l))
+    p2 = jnp.uint32(_pow_u32(0x9E3779B1, l))
+    npos = lmax - l + 1
+    w1 = h1[l:l + npos] - h1[:npos] * p1     # [npos, n]
+    w2 = h2[l:l + npos] - h2[:npos] * p2
+    mixed = w1 * _M1 ^ w2 * _M2
+    return jnp.transpose(mixed)              # [n, npos]
+
+
+@partial(jax.jit, static_argnames=("hash_len",))
+def _index_kernel(hf, hr, lengths, hash_len):
+    """Sorted (hash, rid, orient) index from the per-read window hashes."""
+    n = hf.shape[0] - 1                      # row 0 is the unused dummy
+    suf = (lengths[1:] - hash_len).astype(jnp.int32)
+    rows = jnp.arange(1, n + 1)
+    k0 = hf[1:, 0]
+    k1 = jnp.take_along_axis(hf[1:], suf[:, None], axis=1)[:, 0]
+    k2 = hr[1:, 0]
+    k3 = jnp.take_along_axis(hr[1:], suf[:, None], axis=1)[:, 0]
+    keys = jnp.stack([k0, k1, k2, k3], axis=1).reshape(-1)   # (rid, orient)
+    rid = jnp.repeat(rows.astype(jnp.int32), 4)
+    orient = jnp.tile(jnp.arange(4, dtype=jnp.int32), n)
+    sk, srid, sorient = jax.lax.sort((keys, rid, orient), num_keys=1,
+                                     is_stable=True)
+    # run-length table aligned to each run's FIRST element: a query q with
+    # left = searchsorted(sk, q) hits a bucket iff sk[left] == q, and the
+    # bucket size is run_len[left] — one binary search per query instead of
+    # left+right pairs.
+    m = sk.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    is_new = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    start_next = jnp.where(is_new, idx, m)
+    # next run start strictly after each position: reverse cumulative min of
+    # start positions, shifted left by one
+    rev_cummin = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([start_next[1:], jnp.array([m], jnp.int32)]))))
+    run_len = jnp.where(is_new, rev_cummin - idx, 0).astype(jnp.int32)
+    return sk, srid, sorient, run_len
+
+
+def _gather_rows(codes, idx):
+    return codes[idx]
+
+
+@partial(jax.jit,
+         static_argnames=("hash_len", "cap", "rows", "check_cont"))
+def _join_verify_kernel(codes_fwd, codes_rev, lengths, hf,
+                        sorted_hash, sorted_rid, sorted_orient, run_len,
+                        hash_len, cap, row0, rows, check_cont):
+    l = hash_len
+    lmax = codes_fwd.shape[1]
+    npos = hf.shape[1]
+    q = jax.lax.dynamic_slice(hf, (row0, 0), (rows, npos))       # [R, npos]
+    lens_c = jax.lax.dynamic_slice(lengths, (row0,), (rows,))
+    jj = jnp.arange(npos)[None, :]
+    valid = (jj >= 1) & (jj < (lens_c[:, None] - l))
+    qf = q.reshape(-1)
+    left = jnp.searchsorted(sorted_hash, qf, side="left").astype(jnp.int32)
+    safe_left = jnp.minimum(left, sorted_hash.shape[0] - 1)
+    hit = sorted_hash[safe_left] == qf
+    counts = jnp.where(valid.reshape(-1) & hit, run_len[safe_left], 0)
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+
+    k = jnp.arange(cap, dtype=jnp.int32)
+    qidx = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
+    qidx = jnp.minimum(qidx, counts.shape[0] - 1)
+    prev = jnp.where(qidx > 0, cum[jnp.maximum(qidx - 1, 0)], 0)
+    within = k - prev
+    in_range = k < total
+    src = jnp.clip(left[qidx] + within, 0, sorted_rid.shape[0] - 1)
+    r2 = sorted_rid[src]
+    orient = sorted_orient[src]
+    r1 = (row0 + qidx // npos).astype(jnp.int32)
+    j = (qidx % npos).astype(jnp.int32)
+
+    len1 = lengths[r1]
+    len2 = lengths[r2]
+    str1 = _gather_rows(codes_fwd, r1)
+    fwd2 = _gather_rows(codes_fwd, r2)
+    rev2 = _gather_rows(codes_rev, r2)
+    str2 = jnp.where((orient <= 1)[:, None], fwd2, rev2)
+    is_pre = (orient == 0) | (orient == 2)
+
+    def window_eq(s1, s2, m):
+        kk = jnp.arange(lmax)[None, :]
+        i1 = jnp.clip(s1[:, None] + kk, 0, lmax - 1)
+        i2 = jnp.clip(s2[:, None] + kk, 0, lmax - 1)
+        a = jnp.take_along_axis(str1, i1, axis=1)
+        b = jnp.take_along_axis(str2, i2, axis=1)
+        return jnp.where(kk < m[:, None], a == b, True).all(axis=1)
+
+    # edge mode (checkOverlap, seed included)
+    ok_e = jnp.where(is_pre, len1 - j < len2, len2 - l >= j)
+    s1_e = jnp.where(is_pre, j, 0)
+    s2_e = jnp.where(is_pre, 0, len2 - l - j)
+    m_e = jnp.where(ok_e, jnp.where(is_pre, len1 - j, j + l), 0)
+    edge_ok = ok_e & window_eq(s1_e, jnp.clip(s2_e, 0), m_e)
+
+    if check_cont:
+        m2 = len2 - l
+        ok_c = jnp.where(is_pre, len1 - j - l >= m2, j >= m2)
+        s1_c = jnp.where(is_pre, j, j - m2)
+        m_c = jnp.where(ok_c, len2, 0)
+        cont_ok = (ok_c & (len1 > len2)
+                   & window_eq(jnp.clip(s1_c, 0), jnp.zeros_like(s1_c), m_c))
+    else:
+        cont_ok = jnp.zeros_like(edge_ok)
+
+    keep = in_range & (edge_ok | cont_ok)
+    # stable scatter compaction: kept candidates first in original order
+    # (cheaper than a sort on TPU: one cumsum + one scatter per field)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, pos, cap)          # cap = out of bounds -> dropped
+    n_keep = jnp.where(keep.any(), pos[-1] + 1, 0)
+
+    # edge orientation/offset derivation (OverlapGraph.cpp:550-557)
+    eo = jnp.where(orient == 0, 3,
+         jnp.where(orient == 1, 0,
+         jnp.where(orient == 2, 2, 1))).astype(jnp.int32)
+    eoff = jnp.where(is_pre, j, len1 - l - j).astype(jnp.int32)
+
+    out = [jnp.zeros((cap,), x.dtype).at[dest].set(x, mode="drop")
+           for x in (r1, j, r2, orient.astype(jnp.int32), eo, eoff,
+                     edge_ok, cont_ok)]
+    return (*out, n_keep, total)
+
+
+class DeviceOverlapPipeline:
+    """Host orchestration of the device overlap pipeline."""
+
+    def __init__(self, dataset, min_overlap, chunk_rows=32768):
+        self.ds = dataset
+        self.hash_len = min_overlap - 1
+        self.chunk_rows = chunk_rows
+        ds = dataset
+        self.cf = jnp.asarray(ds.codes_fwd)
+        self.cr = jnp.asarray(ds.codes_rev)
+        self.lengths = jnp.asarray(ds.lengths.astype(np.int32))
+        self.hf = window_hashes_u32(self.cf, self.hash_len)
+        hr = window_hashes_u32(self.cr, self.hash_len)
+        (self.sorted_hash, self.sorted_rid, self.sorted_orient,
+         self.run_len) = _index_kernel(self.hf, hr, self.lengths,
+                                       self.hash_len)
+
+    def candidates(self, check_cont=True):
+        """Returns (CandidateBatch, edge_ok, cont_ok) in reference discovery
+        order (read asc, j asc, bucket order)."""
+        n = self.ds.number_of_unique_reads
+        fields = [[] for _ in range(8)]
+        cap = 1 << 20
+        row0 = 0
+        rows_total = n + 1
+        while row0 < rows_total:
+            rows = min(self.chunk_rows, rows_total - row0)
+            while True:
+                out = _join_verify_kernel(
+                    self.cf, self.cr, self.lengths, self.hf,
+                    self.sorted_hash, self.sorted_rid, self.sorted_orient,
+                    self.run_len, self.hash_len, cap, row0, rows, check_cont)
+                n_keep = int(out[8])
+                total = int(out[9])
+                if total <= cap:
+                    break
+                while cap < total:
+                    cap *= 2
+            for i in range(8):
+                fields[i].append(np.asarray(out[i][:n_keep]))
+            row0 += rows
+        cat = [np.concatenate(f) if f else np.zeros(0, np.int64)
+               for f in fields]
+        batch = CandidateBatch(
+            r1=cat[0].astype(np.int64), j=cat[1].astype(np.int64),
+            r2=cat[2].astype(np.int64), orient=cat[3].astype(np.uint8))
+        return (batch, cat[4].astype(np.int64), cat[5].astype(np.int64),
+                cat[6].astype(bool), cat[7].astype(bool))

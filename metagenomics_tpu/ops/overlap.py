@@ -9,14 +9,17 @@ take_along_axis and compared under a length mask — one fused XLA kernel, no
 per-candidate host work.
 
 Window derivation (l = hash string length = minOverlap - 1, string2 is the
-forward strand of r2 for orient 0/1 and the reverse strand for orient 2/3):
+forward strand of r2 for orient 0/1 and the reverse strand for orient 2/3).
+Unlike the reference, whose hash table guarantees the seed l-mer matches,
+our hashed join does not — so each window INCLUDES the seed, giving the
+identical accept set while rejecting hash collisions:
 
   edge mode (checkOverlap):
-    orient 0/2: needs len1 - j < len2;  window r1[j+l : len1] == s2[l : len1-j]
-    orient 1/3: needs len2 - l >= j;    window r1[0 : j]      == s2[len2-l-j : len2-l]
+    orient 0/2: needs len1 - j < len2;  window r1[j : len1]    == s2[0 : len1-j]
+    orient 1/3: needs len2 - l >= j;    window r1[0 : j+l]     == s2[len2-l-j : len2]
   containment mode (checkOverlapForContainedRead), m = len2 - l:
-    orient 0/2: needs len1-j-l >= m;    window r1[j+l : j+l+m] == s2[l : len2]
-    orient 1/3: needs j >= m;           window r1[j-m : j]     == s2[0 : m]
+    orient 0/2: needs len1-j-l >= m;    window r1[j : j+len2]  == s2[0 : len2]
+    orient 1/3: needs j >= m;           window r1[j-m : j+l]   == s2[0 : len2]
 """
 
 from dataclasses import dataclass
@@ -64,17 +67,20 @@ def _verify_kernel(codes_fwd, codes_rev, lengths, r1, j, r2, orient, hash_len, m
     str2 = jnp.where((orient <= 1)[:, None], fwd2, rev2)
     is_pre = (orient == 0) | (orient == 2)
 
+    # Windows INCLUDE the l-mer seed (the reference's hash table guarantees
+    # the seed matches; our hashed join does not, so the compare covers it —
+    # identical accept set, and hash collisions are rejected here).
     if mode == "edge":
         ok_pre = len1 - j < len2
-        s1_pre, s2_pre, m_pre = j + l, jnp.full_like(j, l), len1 - j - l
+        s1_pre, s2_pre, m_pre = j, jnp.zeros_like(j), len1 - j
         ok_suf = len2 - l >= j
-        s1_suf, s2_suf, m_suf = jnp.zeros_like(j), len2 - l - j, j
+        s1_suf, s2_suf, m_suf = jnp.zeros_like(j), len2 - l - j, j + l
     else:  # containment
         m2 = len2 - l
         ok_pre = len1 - j - l >= m2
-        s1_pre, s2_pre, m_pre = j + l, jnp.full_like(j, l), m2
+        s1_pre, s2_pre, m_pre = j, jnp.zeros_like(j), len2
         ok_suf = j >= m2
-        s1_suf, s2_suf, m_suf = j - m2, jnp.zeros_like(j), m2
+        s1_suf, s2_suf, m_suf = j - m2, jnp.zeros_like(j), len2
 
     ok = jnp.where(is_pre, ok_pre, ok_suf)
     s1 = jnp.where(is_pre, s1_pre, s1_suf)

@@ -28,12 +28,15 @@ ARTIFACTS = [
 ]
 
 
+@pytest.mark.parametrize("engine", ["native", "python"])
 @pytest.mark.parametrize("name", sorted(CONFIGS))
-def test_golden_config(name, tmp_path):
+def test_golden_config(name, engine, tmp_path):
     args = CONFIGS[name]
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"   # don't contend for the TPU tunnel in tests
+    if engine == "python":
+        env["MGTPU_NO_NATIVE"] = "1"
     proc = subprocess.run(
         [sys.executable, "-m", "metagenomics_tpu.cli", *args, "-f", "t_",
          "-l", "40"],

@@ -84,15 +84,15 @@ def test_verify_candidates_edge_mode_brute_force():
                 for orient in range(4):
                     s2 = s2f if orient <= 1 else s2r
                     if orient in (0, 2):
-                        if s1[j:j + l] != s2[:l]:
-                            continue
-                        ok = (len(s1) - j < len(s2)
+                        seed = s1[j:j + l] == s2[:l]
+                        ok = (seed and len(s1) - j < len(s2)
                               and s1[j + l:] == s2[l:l + len(s1) - j - l])
                     else:
-                        if s1[j:j + l] != s2[len(s2) - l:]:
-                            continue
-                        ok = (len(s2) - l >= j
+                        seed = s1[j:j + l] == s2[len(s2) - l:]
+                        ok = (seed and len(s2) - l >= j
                               and s1[:j] == s2[len(s2) - l - j:len(s2) - l])
+                    if not seed and (r1 + j + r2) % 7:
+                        continue    # keep batch small; sample non-seed cases
                     r1s.append(r1)
                     js.append(j)
                     r2s.append(r2)
