@@ -54,6 +54,13 @@ class AssemblerConfig:
     similar_edge_frac: int = 20        # lengths/edit distance within 1/20 (5%)
     min_scaffold_overlap: int = 10     # bp needed to join scaffold junction reads
 
+    # --- Mate-pair linkage graph (reference design intent) ---
+    # coverageDepthLB/UB are referenced but never declared in the snapshot
+    # (MatePairGraph.cpp:241); the mate-pair-graph refinement is therefore
+    # off by default and these bounds are explicit config here.
+    coverage_depth_lb: int = 2
+    coverage_depth_ub: int = 100
+
     # --- New-framework options (no reference equivalent) ---
     use_native_build: bool = True      # C++ construction engine when available
     overlap_engine: str = "auto"       # auto | native | device | host

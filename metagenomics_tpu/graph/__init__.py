@@ -12,11 +12,13 @@ from .simplify import SimplifyMixin
 from .flow import FlowMixin
 from .matepair import MatePairMixin
 from .scaffold import ScaffoldMixin
+from .genome_size import GenomeSizeMixin
+from .matepair_graph import MatePairGraph, MatePairLink
 
 
 class OverlapGraph(BuildMixin, SimplifyMixin, FlowMixin, MatePairMixin,
-                   ScaffoldMixin, GraphCore):
+                   ScaffoldMixin, GenomeSizeMixin, GraphCore):
     """Bidirected overlap graph with the full reference feature set."""
 
 
-__all__ = ["Edge", "OverlapGraph"]
+__all__ = ["Edge", "OverlapGraph", "MatePairGraph", "MatePairLink"]

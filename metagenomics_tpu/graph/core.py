@@ -98,6 +98,8 @@ class GraphCore:
         self.flow_computed = False
         self.mean_of_insert_sizes = []
         self.sd_of_insert_sizes = []
+        self.estimated_genome_size = 0
+        self.mp_marked_edges = set()   # filled by MatePairGraph refinement
         self._serial = 0
 
     def _next_serial(self):

@@ -20,7 +20,11 @@ class FlowMixin:
         ub = [10, 10, 10]
         cost = [500000, 500000, 500000]
         if edge.list_reads:
-            if len(edge.list_reads) > 20:
+            # mp_marked_edges: unambiguous mate-pair-linked neighbors of
+            # high-coverage edges, forced to carry flow (the stated purpose
+            # of MatePairGraph::markEdgesByMatePairs, MatePairGraph.cpp:
+            # 266-274); empty unless the mate-pair-graph refinement ran.
+            if len(edge.list_reads) > 20 or edge in self.mp_marked_edges:
                 lb = [1, 0, 0]
             ub = [1, 1, 8]
             cost = [1, 50000, 100000]
