@@ -96,23 +96,29 @@ class Dataset:
 
     def _read_file(self, path, dataset_number):
         self.log("Reading dataset: %d from file: %s" % (dataset_number, path))
-        seqs = list(fastx_records(path))
+        seqs = [s.encode() for s in fastx_records(path)]
         n = len(seqs)
         lmax = max((len(s) for s in seqs), default=1)
-        ascii_arr = np.zeros((n, lmax), dtype=np.uint8)
-        lengths = np.zeros(n, dtype=np.int64)
-        for i, s in enumerate(seqs):
-            b = s.encode()
-            ascii_arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-            lengths[i] = len(b)
+        lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
+        # one flat buffer + one gather instead of n row-copies
+        flat = np.frombuffer(b"".join(seqs) + b"\0", dtype=np.uint8)
+        offsets = np.zeros(n, dtype=np.int64)
+        if n:
+            np.cumsum(lengths[:-1], out=offsets[1:])
+        pos = np.minimum(offsets[:, None] + np.arange(lmax)[None, :],
+                         len(flat) - 1)
+        ascii_arr = np.where(
+            np.arange(lmax)[None, :] < lengths[:, None], flat[pos], 0)
         codes = packing.ascii_to_codes(ascii_arr, lengths)
-        good_mask = np.asarray(packing.qc_mask(codes, lengths, self.min_overlap))
+        # host twins of the device kernels: ingest is IO-bound host work, so
+        # paying an XLA compile here buys nothing (equality tested in
+        # tests/test_ops.py)
+        good_mask = packing.qc_mask_np(codes, lengths, self.min_overlap)
         good = int(good_mask.sum())
         bad = n - good
         gcodes = codes[good_mask]
         glens = lengths[good_mask]
-        canon, _ = packing.canonicalize_codes(gcodes, glens)
-        canon = np.asarray(canon)
+        canon, _ = packing.canonicalize_codes_np(gcodes, glens)
         if good:
             self.shortest_read_length = (
                 int(glens.min()) if self.shortest_read_length is None
@@ -158,18 +164,20 @@ class Dataset:
         self.frequencies[1:] = freq
         self.sort_limbs = limbs[uniq_idx]      # for binary-search lookup
 
-        from .ops.packing import reverse_complement_codes
-        self.codes_rev = np.asarray(
-            reverse_complement_codes(self.codes_fwd, self.lengths))
+        self.codes_rev = packing.reverse_complement_codes_np(
+            self.codes_fwd, self.lengths)
 
-        # Host byte strings for the graph-surgery layer (decoded once).
+        # Host byte strings for the graph-surgery layer (decoded once,
+        # one LUT gather for the whole dataset then per-row slicing).
+        ascii_f = packing.codes_to_ascii_all(self.codes_fwd)
+        ascii_r = packing.codes_to_ascii_all(self.codes_rev)
+        lens = self.lengths.tolist()
         self.read_strs = [b""] * (u + 1)
         self.read_strs_rev = [b""] * (u + 1)
         for i in range(1, u + 1):
-            self.read_strs[i] = packing.codes_to_ascii(
-                self.codes_fwd[i], int(self.lengths[i]))
-            self.read_strs_rev[i] = packing.codes_to_ascii(
-                self.codes_rev[i], int(self.lengths[i]))
+            li = lens[i]
+            self.read_strs[i] = ascii_f[i, :li].tobytes()
+            self.read_strs_rev[i] = ascii_r[i, :li].tobytes()
 
     # ------------------------------------------------------------- accessors
 

@@ -458,6 +458,7 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
                       const int64_t *cand_start, const int64_t *cand_dest,
                       const int8_t *cand_orient, const int64_t *cand_offset,
                       int8_t *explored, int8_t *mark) {
+    double t0 = now_s();
     std::vector<int64_t> queue;
     auto insert_all = [&](int64_t rn) {
         for (int64_t k = cand_start[rn]; k < cand_start[rn + 1]; k++) {
@@ -521,12 +522,15 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
         }
     }
 
+    PROF("  bfs", t0); t0 = now_s();
     while (true) {
         int64_t c = g->contract_composite_paths(nodes, nn);
         c += g->remove_dead_end_nodes(nodes, nn);
         if (c == 0) break;
     }
+    PROF("  contract", t0); t0 = now_s();
     g->finalize_locations(nodes, nn);
+    PROF("  finloc", t0);
 }
 
 Result *finish_result(Graph *g) {

@@ -109,6 +109,56 @@ def qc_mask(codes, lengths, min_overlap: int):
                       jnp.asarray(thresholds), min_overlap)
 
 
+def reverse_complement_codes_np(codes: np.ndarray,
+                                lengths: np.ndarray) -> np.ndarray:
+    """Host (numpy) twin of reverse_complement_codes — identical semantics,
+    no XLA compile cost.  Used on the ingest path; tests assert equality
+    with the device kernel."""
+    lmax = codes.shape[1]
+    k = np.arange(lmax)[None, :]
+    src = np.clip(lengths[:, None] - 1 - k, 0, lmax - 1)
+    gathered = np.take_along_axis(codes, src, axis=1)
+    return np.where(k < lengths[:, None], 3 - gathered,
+                    PAD_CODE).astype(np.uint8)
+
+
+def _lex_less_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lmax = a.shape[1]
+    neq = a != b
+    first = np.where(neq.any(axis=1), neq.argmax(axis=1), lmax)
+    idx = np.clip(first, 0, lmax - 1)
+    av = np.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    bv = np.take_along_axis(b, idx[:, None], axis=1)[:, 0]
+    return (first < lmax) & (av < bv)
+
+
+def canonicalize_codes_np(codes: np.ndarray, lengths: np.ndarray):
+    """Host twin of canonicalize_codes (same tie handling)."""
+    rc = reverse_complement_codes_np(codes, lengths)
+    fwd_less = _lex_less_np(codes, rc)
+    out = np.where(fwd_less[:, None], codes, rc).astype(np.uint8)
+    return out, ~fwd_less
+
+
+def qc_mask_np(codes: np.ndarray, lengths: np.ndarray,
+               min_overlap: int) -> np.ndarray:
+    """Host twin of qc_mask (thresholds already float64-exact on host)."""
+    thresholds = np.trunc(
+        np.asarray(lengths, dtype=np.float64) * 0.8).astype(np.int64)
+    valid = np.arange(codes.shape[1])[None, :] < lengths[:, None]
+    ok_chars = np.where(valid, codes <= 3, True).all(axis=1)
+    counts = np.stack(
+        [np.where(valid, codes == c, False).sum(axis=1) for c in range(4)],
+        axis=1)
+    not_lowcomp = (counts < thresholds[:, None]).all(axis=1)
+    return ok_chars & not_lowcomp & (lengths > min_overlap)
+
+
+def codes_to_ascii_all(codes: np.ndarray) -> np.ndarray:
+    """Decode a whole [N, Lmax] code array to ASCII bytes in one gather."""
+    return _CODE_TO_ASCII[np.ascontiguousarray(codes)]
+
+
 def pack_sort_limbs(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Pack rank codes into big-endian uint64 limbs for lexicographic sorting.
 

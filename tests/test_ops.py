@@ -125,3 +125,23 @@ def test_mincostflow_lower_bound_forcing():
     ]
     flows = solve_min_cost_flow(3, arcs)
     assert flows == [1, 1, 1]
+
+
+def test_numpy_twins_match_device_kernels():
+    """The host (numpy) ingest kernels must agree exactly with the jitted
+    device kernels they mirror (packing.py)."""
+    rng = np.random.default_rng(3)
+    reads = _random_reads(rng, 80, 5, 70)
+    codes, lens = _pad(reads)
+    codes = np.asarray(codes)
+    rc_dev = np.asarray(packing.reverse_complement_codes(codes, lens))
+    rc_np = packing.reverse_complement_codes_np(codes, lens)
+    np.testing.assert_array_equal(rc_dev, rc_np)
+    can_dev, rev_dev = packing.canonicalize_codes(codes, lens)
+    can_np, rev_np = packing.canonicalize_codes_np(codes, lens)
+    np.testing.assert_array_equal(np.asarray(can_dev), can_np)
+    np.testing.assert_array_equal(np.asarray(rev_dev), rev_np)
+    for mo in (4, 20):
+        np.testing.assert_array_equal(
+            np.asarray(packing.qc_mask(codes, lens, mo)),
+            packing.qc_mask_np(codes, lens, mo))
