@@ -58,11 +58,25 @@ struct Edge {
     bool transitive = false;
 };
 
+// Adjacency entry: the Edge pointer plus cached immutable fields.  The BFS
+// and the Myers triangle loops (mark_transitive) are bound by cache misses
+// on Edge dereferences; dest/orient never change after edge creation, so
+// caching them inline turns those scans into contiguous reads.
+struct AdjE {
+    Edge *e;
+    int32_t dest;
+    int8_t orient;
+
+    AdjE() : e(nullptr), dest(0), orient(0) {}
+    explicit AdjE(Edge *ed)
+        : e(ed), dest((int32_t)ed->destination), orient((int8_t)ed->orient) {}
+};
+
 struct Graph {
     int64_t n_reads;
     const int64_t *lengths;
     int64_t dead_end_length;
-    std::vector<std::vector<Edge *>> adj;
+    std::vector<std::vector<AdjE>> adj;
     // read -> (edge, location) index, forward/reverse
     std::vector<std::vector<Edge *>> locf_e, locr_e;
     std::vector<std::vector<int64_t>> locf_d, locr_d;
@@ -70,6 +84,7 @@ struct Graph {
     int64_t n_edges = 0;
     int64_t serial = 0;
     std::deque<Edge> pool;   // arena: stable addresses, freed with the graph
+    std::vector<Edge *> free_list;  // removed edges, reused by new_edge
 
     explicit Graph(int64_t n, const int64_t *lens, int64_t del)
         : n_reads(n), lengths(lens), dead_end_length(del),
@@ -77,20 +92,39 @@ struct Graph {
           locf_d(n + 1), locr_d(n + 1) {}
 
     Edge *new_edge(int64_t s, int64_t d, int32_t o, int64_t off) {
-        pool.emplace_back();
-        Edge *e = &pool.back();
+        Edge *e;
+        if (!free_list.empty()) {
+            e = free_list.back();
+            free_list.pop_back();
+            e->man.clear();
+        } else {
+            pool.emplace_back();
+            e = &pool.back();
+        }
         e->source = s;
         e->destination = d;
         e->orient = o;
         e->offset = off;
         e->serial = ++serial;
+        e->twin = nullptr;
+        e->transitive = false;
         return e;
+    }
+
+    // Most edges are transitive and die during the BFS; reuse keeps the
+    // working set at the live-edge count instead of the 10x larger
+    // total-allocation count.  Only called once both twin entries are
+    // unlinked from the adjacency lists.
+    void free_edge_pair(Edge *e) {
+        free_list.push_back(e);
+        free_list.push_back(e->twin);
     }
 
     void finalize_locations(const int64_t *nodes, size_t nn) {
         for (size_t ni = 0; ni < nn; ni++) {
             int64_t i = nodes[ni];
-            for (Edge *e : adj[i]) {
+            for (const AdjE &a : adj[i]) {
+                Edge *e = a.e;
                 int64_t dist = 0;
                 for (size_t k = 0; k < e->man.size(); k++) {
                     dist += e->man[k].off;
@@ -110,7 +144,7 @@ struct Graph {
     void insert_edge_obj(Edge *e) {
         auto &lst = adj[e->source];
         if (lst.empty()) n_nodes++;
-        lst.push_back(e);
+        lst.push_back(AdjE(e));
         n_edges++;
         // NOTE: read-location upkeep is deferred to finalize_locations():
         // during construction every read is interior to at most one live
@@ -161,18 +195,21 @@ struct Graph {
     void remove_edge(Edge *e) {
         Edge *targets[2] = {e->twin, e};
         int64_t nodes[2] = {e->destination, e->source};
+        int unlinked = 0;
         for (int k = 0; k < 2; k++) {
             auto &lst = adj[nodes[k]];
             for (size_t i = 0; i < lst.size(); i++) {
-                if (lst[i] == targets[k]) {
+                if (lst[i].e == targets[k]) {
                     lst[i] = lst.back();
                     lst.pop_back();
                     if (lst.empty()) n_nodes--;
                     n_edges--;
+                    unlinked++;
                     break;
                 }
             }
         }
+        if (unlinked == 2) free_edge_pair(e);
     }
 
     void merge_list(const Edge *e1, const Edge *e2, Edge *out) {
@@ -209,8 +246,8 @@ struct Graph {
     }
 
     bool is_edge_present(int64_t s, int64_t d) const {
-        for (const Edge *e : adj[s])
-            if (e->destination == d) return true;
+        for (const AdjE &a : adj[s])
+            if (a.dest == d) return true;
         return false;
     }
 
@@ -219,8 +256,8 @@ struct Graph {
         for (size_t ni = 0; ni < nn; ni++) {
             int64_t i = nodes[ni];
             if (adj[i].size() == 2) {
-                Edge *e1 = adj[i][0];
-                Edge *e2 = adj[i][1];
+                Edge *e1 = adj[i][0].e;
+                Edge *e2 = adj[i][1].e;
                 if (!is_edge_present(e1->destination, e2->destination)) {
                     if (match_edge_type(e1->twin, e2)
                         && e1->source != e1->destination) {
@@ -241,13 +278,13 @@ struct Graph {
             if (lst.empty()) continue;
             bool flag = false;
             int64_t in_e = 0, out_e = 0;
-            for (Edge *e : lst) {
-                if ((int64_t)e->man.size() > dead_end_length
-                    || e->source == e->destination) {
+            for (const AdjE &a : lst) {
+                if ((int64_t)a.e->man.size() > dead_end_length
+                    || a.e->source == a.dest) {
                     flag = true;
                     break;
                 }
-                if (e->orient == 0 || e->orient == 1) in_e++;
+                if (a.orient == 0 || a.orient == 1) in_e++;
                 else out_e++;
             }
             if (!flag && ((in_e > 0 && out_e == 0)
@@ -256,36 +293,37 @@ struct Graph {
         }
         for (int64_t nid : nodes) {
             if (!adj[nid].empty()) {
-                std::vector<Edge *> edges(adj[nid].begin(), adj[nid].end());
-                for (Edge *e : edges) remove_edge(e);
+                std::vector<AdjE> edges(adj[nid].begin(), adj[nid].end());
+                for (const AdjE &a : edges) remove_edge(a.e);
             }
         }
         return (int64_t)nodes.size();
     }
 
     void mark_transitive(int64_t rn, int8_t *mark) {
-        for (Edge *e : adj[rn]) mark[e->destination] = 1;  // INPLAY
-        for (Edge *e : adj[rn]) {
-            int64_t r2 = e->destination;
+        const std::vector<AdjE> &lst = adj[rn];
+        for (const AdjE &a : lst) mark[a.dest] = 1;  // INPLAY
+        for (const AdjE &a : lst) {
+            int32_t r2 = a.dest;
             if (mark[r2] == 1) {
-                for (Edge *e2 : adj[r2]) {
-                    int64_t r3 = e2->destination;
-                    if (mark[r3] == 1) {
-                        int32_t t1 = e->orient, t2 = e2->orient;
-                        if (((t1 == 0 || t1 == 2) && (t2 == 0 || t2 == 1))
-                            || ((t1 == 1 || t1 == 3) && (t2 == 2 || t2 == 3)))
-                            mark[r3] = 2;  // ELIMINATED
+                // t1-side predicate hoisted: in-edges pair with {0,1},
+                // out-edges with {2,3} (OverlapGraph.cpp:593-596)
+                bool t1_in = (a.orient == 0 || a.orient == 2);
+                for (const AdjE &b : adj[r2]) {
+                    if (mark[b.dest] == 1) {
+                        bool t2_in = (b.orient == 0 || b.orient == 1);
+                        if (t1_in == t2_in) mark[b.dest] = 2;  // ELIMINATED
                     }
                 }
             }
         }
-        for (Edge *e : adj[rn]) {
-            if (mark[e->destination] == 2) {
-                e->transitive = true;
-                e->twin->transitive = true;
+        for (const AdjE &a : lst) {
+            if (mark[a.dest] == 2) {
+                a.e->transitive = true;
+                a.e->twin->transitive = true;
             }
         }
-        for (Edge *e : adj[rn]) mark[e->destination] = 0;
+        for (const AdjE &a : lst) mark[a.dest] = 0;
         mark[rn] = 0;
     }
 
@@ -293,11 +331,11 @@ struct Graph {
         auto &lst = adj[rn];
         size_t index = 0;
         while (index < lst.size()) {
-            if (lst[index]->transitive) {
-                Edge *twin = lst[index]->twin;
+            if (lst[index].e->transitive) {
+                Edge *twin = lst[index].e->twin;
                 auto &tl = adj[twin->source];
                 for (size_t i1 = 0; i1 < tl.size(); i1++) {
-                    if (tl[i1] == twin) {
+                    if (tl[i1].e == twin) {
                         tl[i1] = tl.back();
                         tl.pop_back();
                         if (tl.empty()) n_nodes--;
@@ -310,9 +348,12 @@ struct Graph {
         }
         size_t jj = 0;
         for (size_t i = 0; i < lst.size(); i++) {
-            if (!lst[i]->transitive) {
+            if (!lst[i].e->transitive) {
                 lst[jj++] = lst[i];
             } else {
+                // twin already unlinked in the loop above; both objects are
+                // now unreferenced and can be recycled
+                free_edge_pair(lst[i].e);
                 n_edges--;
             }
         }
@@ -469,8 +510,8 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
         auto &lst = g->adj[rn];
         if (!lst.empty())
             std::stable_sort(lst.begin(), lst.end(),
-                             [](const Edge *a, const Edge *b) {
-                                 return a->offset < b->offset;
+                             [](const AdjE &a, const AdjE &b) {
+                                 return a.e->offset < b.e->offset;
                              });
     };
 
@@ -489,7 +530,7 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
             if (!g->adj[read1].empty()) {
                 if (explored[read1] == 1) {
                     for (size_t i1 = 0; i1 < g->adj[read1].size(); i1++) {
-                        int64_t read2 = g->adj[read1][i1]->destination;
+                        int64_t read2 = g->adj[read1][i1].dest;
                         if (explored[read2] == 0) {
                             queue.push_back(read2);
                             insert_all(read2);
@@ -501,11 +542,11 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
                 }
                 if (explored[read1] == 2) {
                     for (size_t i1 = 0; i1 < g->adj[read1].size(); i1++) {
-                        int64_t read2 = g->adj[read1][i1]->destination;
+                        int64_t read2 = g->adj[read1][i1].dest;
                         if (explored[read2] == 1) {
                             for (size_t i2 = 0; i2 < g->adj[read2].size();
                                  i2++) {
-                                int64_t read3 = g->adj[read2][i2]->destination;
+                                int64_t read3 = g->adj[read2][i2].dest;
                                 if (explored[read3] == 0) {
                                     queue.push_back(read3);
                                     insert_all(read3);
@@ -537,10 +578,10 @@ Result *finish_result(Graph *g) {
     Result *res = new Result();
     res->g = g;
     for (int64_t i = 1; i <= g->n_reads; i++)
-        for (Edge *e : g->adj[i]) {
+        for (const AdjE &a : g->adj[i]) {
             res->man_start.push_back(res->total_manifest);
-            res->total_manifest += (int64_t)e->man.size();
-            res->order.push_back(e);
+            res->total_manifest += (int64_t)a.e->man.size();
+            res->order.push_back(a.e);
         }
     return res;
 }
