@@ -87,10 +87,13 @@ class Dataset:
         self.super_read_id = np.zeros(u + 1, dtype=np.int64)
         self.mate_pair_lists = [[] for _ in range(u + 1)]
         # read -> (edge, location) inverted index, maintained by the graph.
-        self.edges_forward = [[] for _ in range(u + 1)]
-        self.loc_forward = [[] for _ in range(u + 1)]
-        self.edges_reverse = [[] for _ in range(u + 1)]
-        self.loc_reverse = [[] for _ in range(u + 1)]
+        self._edges_forward = [[] for _ in range(u + 1)]
+        self._loc_forward = [[] for _ in range(u + 1)]
+        self._edges_reverse = [[] for _ in range(u + 1)]
+        self._loc_reverse = [[] for _ in range(u + 1)]
+        # raw (array-form) location data from the native engine, converted
+        # to per-read Python lists on first access (graph/build.py)
+        self._pending_locations = None
 
     # ------------------------------------------------------------------ ingest
 
@@ -178,6 +181,74 @@ class Dataset:
             li = lens[i]
             self.read_strs[i] = ascii_f[i, :li].tobytes()
             self.read_strs_rev[i] = ascii_r[i, :li].tobytes()
+
+    # ------------------------------------------- read -> edge location index
+
+    @property
+    def edges_forward(self):
+        if self._pending_locations is not None:
+            self._materialize_locations()
+        return self._edges_forward
+
+    @edges_forward.setter
+    def edges_forward(self, v):
+        self._pending_locations = None
+        self._edges_forward = v
+
+    @property
+    def loc_forward(self):
+        if self._pending_locations is not None:
+            self._materialize_locations()
+        return self._loc_forward
+
+    @loc_forward.setter
+    def loc_forward(self, v):
+        self._pending_locations = None
+        self._loc_forward = v
+
+    @property
+    def edges_reverse(self):
+        if self._pending_locations is not None:
+            self._materialize_locations()
+        return self._edges_reverse
+
+    @edges_reverse.setter
+    def edges_reverse(self, v):
+        self._pending_locations = None
+        self._edges_reverse = v
+
+    @property
+    def loc_reverse(self):
+        if self._pending_locations is not None:
+            self._materialize_locations()
+        return self._loc_reverse
+
+    @loc_reverse.setter
+    def loc_reverse(self, v):
+        self._pending_locations = None
+        self._loc_reverse = v
+
+    def _materialize_locations(self):
+        """Convert the native engine's flat location arrays into the
+        per-read Python lists the graph-surgery layer mutates."""
+        edges, counts_f, counts_r, loc_edge_pos, ld = self._pending_locations
+        self._pending_locations = None
+        import numpy as _np
+        edge_objs = _np.empty(max(len(edges), 1), dtype=object)
+        for p, e in enumerate(edges):
+            edge_objs[p] = e
+        arr_e = (edge_objs[loc_edge_pos] if len(edges)
+                 else _np.empty(0, dtype=object))
+        pos = 0
+        for i in range(len(counts_f)):
+            nf = counts_f[i]
+            nr = counts_r[i]
+            self._edges_forward[i] = arr_e[pos:pos + nf].tolist()
+            self._loc_forward[i] = ld[pos:pos + nf]
+            pos += nf
+            self._edges_reverse[i] = arr_e[pos:pos + nr].tolist()
+            self._loc_reverse[i] = ld[pos:pos + nr]
+            pos += nr
 
     # ------------------------------------------------------------- accessors
 

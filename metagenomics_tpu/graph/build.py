@@ -268,27 +268,12 @@ class BuildMixin:
         self.number_of_nodes = int(res["n_nodes"])
         self.number_of_edges = int(res["n_edges"])
         self._serial = max(self._serial, int(res["serial_counter"]))
-        # read-location lists in the engine's final order (vectorized:
-        # one object-array gather, then per-read C-level slicing)
-        import numpy as _np
-        cf = res["counts_f"].tolist()
-        cr = res["counts_r"].tolist()
-        edge_objs = _np.empty(max(ne, 1), dtype=object)
-        for p in range(ne):
-            edge_objs[p] = edges[p]
-        arr_e = edge_objs[res["loc_edge_pos"]] if ne else \
-            _np.empty(0, dtype=object)
-        ld = res["loc_dist"].tolist()
-        pos = 0
-        for i in range(len(cf)):
-            nf = cf[i]
-            nr = cr[i]
-            ds.edges_forward[i] = arr_e[pos:pos + nf].tolist()
-            ds.loc_forward[i] = ld[pos:pos + nf]
-            pos += nf
-            ds.edges_reverse[i] = arr_e[pos:pos + nr].tolist()
-            ds.loc_reverse[i] = ld[pos:pos + nr]
-            pos += nr
+        # read-location lists in the engine's final order; conversion to
+        # per-read Python lists is deferred to first access (the data is
+        # already complete in array form — Dataset._materialize_locations)
+        ds._pending_locations = (
+            edges, res["counts_f"].tolist(), res["counts_r"].tolist(),
+            res["loc_edge_pos"], res["loc_dist"].tolist())
 
     # -------------------------------------------------- transitive reduction
 
