@@ -48,8 +48,8 @@ struct Man {            // one interior-read manifest entry (8B, memcpy-able)
 };
 
 struct Edge {
-    int64_t source;
-    int64_t destination;
+    int32_t source;         // read ids fit 31 bits (reference UINT64 ids are
+    int32_t destination;    // dense 1..numberOfUniqueReads)
     int32_t orient;
     int64_t offset;
     std::vector<Man> man;
@@ -92,6 +92,7 @@ struct Graph {
           locf_d(n + 1), locr_d(n + 1) {}
 
     Edge *new_edge(int64_t s, int64_t d, int32_t o, int64_t off) {
+        // (ids are int32 internally; the ABI stays int64)
         Edge *e;
         if (!free_list.empty()) {
             e = free_list.back();
@@ -101,8 +102,8 @@ struct Graph {
             pool.emplace_back();
             e = &pool.back();
         }
-        e->source = s;
-        e->destination = d;
+        e->source = (int32_t)s;
+        e->destination = (int32_t)d;
         e->orient = o;
         e->offset = off;
         e->serial = ++serial;
@@ -496,8 +497,8 @@ namespace {
 // candidate graph, so per-subset processing equals the reference's global
 // processing restricted to those components.
 void run_construction(Graph *g, const int64_t *nodes, size_t nn,
-                      const int64_t *cand_start, const int64_t *cand_dest,
-                      const int8_t *cand_orient, const int64_t *cand_offset,
+                      const int64_t *cand_start, const int32_t *cand_dest,
+                      const int8_t *cand_orient, const int32_t *cand_offset,
                       int8_t *explored, int8_t *mark) {
     double t0 = now_s();
     std::vector<int64_t> queue;
@@ -587,8 +588,8 @@ Result *finish_result(Graph *g) {
 }
 
 Result *build_core(int64_t n_reads, const int64_t *lengths,
-                   const int64_t *cand_start, const int64_t *cand_dest,
-                   const int8_t *cand_orient, const int64_t *cand_offset,
+                   const int64_t *cand_start, const int32_t *cand_dest,
+                   const int8_t *cand_orient, const int32_t *cand_offset,
                    int64_t dead_end_length) {
     Graph *g = new Graph(n_reads, lengths, dead_end_length);
     std::vector<int8_t> explored(n_reads + 1, 0);
@@ -611,9 +612,13 @@ void *mg_build(int64_t n_reads, const int64_t *lengths,
                const int8_t *cand_orient, const int64_t *cand_offset,
                int64_t dead_end_length) {
     (void)contained;   // candidates are pre-filtered; kept for API clarity
-    (void)n_cand;
-    return build_core(n_reads, lengths, cand_start, cand_dest, cand_orient,
-                      cand_offset, dead_end_length);
+    std::vector<int32_t> dest32(n_cand), off32(n_cand);
+    for (int64_t i = 0; i < n_cand; i++) {
+        dest32[i] = (int32_t)cand_dest[i];
+        off32[i] = (int32_t)cand_offset[i];
+    }
+    return build_core(n_reads, lengths, cand_start, dest32.data(),
+                      cand_orient, off32.data(), dead_end_length);
 }
 
 // Full assembly-construction engine: l-mer index, probe scan with exact
@@ -645,10 +650,31 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
         idx.push_back({kpr, (int32_t)i, 2});
         idx.push_back({ksr, (int32_t)i, 3});
     }
-    std::stable_sort(idx.begin(), idx.end(),
-                     [](const IndexEntry &a, const IndexEntry &b) {
-                         return a.key < b.key;
-                     });
+    {
+        // partition by the top key bit (stable), sort halves concurrently —
+        // equal keys share the top bit, so per-half stable sorts keep the
+        // reference's (rid, orient) tie order
+        auto cmp = [](const IndexEntry &a, const IndexEntry &b) {
+            return a.key < b.key;
+        };
+        if (n_threads >= 2 && idx.size() > 1u << 16) {
+            const key_t128 top = (key_t128)1 << (2 * l - 1);
+            std::vector<IndexEntry> lo, hi;
+            lo.reserve(idx.size());
+            hi.reserve(idx.size());
+            for (const IndexEntry &e : idx)
+                ((e.key & top) ? hi : lo).push_back(e);
+            std::thread th([&] {
+                std::stable_sort(lo.begin(), lo.end(), cmp);
+            });
+            std::stable_sort(hi.begin(), hi.end(), cmp);
+            th.join();
+            std::copy(hi.begin(), hi.end(),
+                      std::copy(lo.begin(), lo.end(), idx.begin()));
+        } else {
+            std::stable_sort(idx.begin(), idx.end(), cmp);
+        }
+    }
     PROF("index", t0); t0 = now_s();
     // bloom bitmap over mixed hashes (2^24 bits = 2MB, cache-resident)
     std::vector<uint64_t> bloom((1ULL << 24) / 64, 0);
@@ -705,9 +731,9 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
 
     // --- super filter + per-read candidate ranges --------------------------
     std::vector<int64_t> cstart(n_reads + 2, 0);
-    std::vector<int64_t> cdest;
+    std::vector<int32_t> cdest;
     std::vector<int8_t> corient;
-    std::vector<int64_t> coffset;
+    std::vector<int32_t> coffset;
     size_t total = 0;
     for (const auto &sc : scratch) total += sc.cands.size();
     cdest.reserve(total);
@@ -727,6 +753,9 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
         while (cur <= n_reads + 1) cstart[cur++] = (int64_t)cdest.size();
     }
 
+    if (profile_enabled())
+        fprintf(stderr, "[mg_native] cands=%zu kept=%zu idx=%zu\n",
+                total, cdest.size(), idx.size());
     PROF("filter", t0); t0 = now_s();
 
     // --- connected components over the filtered candidate graph -----------
