@@ -145,3 +145,16 @@ def test_numpy_twins_match_device_kernels():
         np.testing.assert_array_equal(
             np.asarray(packing.qc_mask(codes, lens, mo)),
             packing.qc_mask_np(codes, lens, mo))
+
+
+def test_pallas_window_hashes_match_jnp_scan():
+    """The Pallas tile kernel must be bit-identical to the jnp rolling-hash
+    (interpret mode on CPU; the same assertion runs compiled on real TPU)."""
+    from metagenomics_tpu.ops.pallas_hash import window_hashes_pallas
+    from metagenomics_tpu.ops.device_overlap import window_hashes_u32
+    rng = np.random.default_rng(5)
+    for n, lmax, l in ((3, 50, 11), (300, 100, 39), (64, 130, 64)):
+        codes = rng.integers(0, 5, (n, lmax)).astype(np.uint8)
+        a = np.asarray(window_hashes_u32(codes, l))
+        b = np.asarray(window_hashes_pallas(codes, l, interpret=True))
+        np.testing.assert_array_equal(a, b)
