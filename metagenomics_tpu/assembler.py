@@ -13,19 +13,25 @@ from .config import AssemblerConfig
 from .dataset import Dataset
 from .graph import OverlapGraph
 from .index import OverlapIndex
+from .utils import PhaseTimer
 
 
 class Assembler:
     def __init__(self, config: AssemblerConfig, log=print):
         self.cfg = config
         self.log = log
-        self.timings = {}
+        self._timer = PhaseTimer(log=log)
+
+    @property
+    def timings(self):
+        return self._timer.timings
 
     def _timed(self, name, fn, *args):
-        t0 = time.time()
-        result = fn(*args)
-        self.timings[name] = time.time() - t0
-        self.log("Function %s finished in %.6f Seconds." % (name, self.timings[name]))
+        """CLOCKSTART/CLOCKSTOP-wrapped phase (Common.h:52-53): wall time +
+        VmData delta, plus a jax.profiler trace when MGTPU_PROFILE_DIR is
+        set (utils/timing.py)."""
+        with self._timer.phase(name):
+            result = fn(*args)
         return result
 
     def _build(self, graph):
@@ -60,8 +66,9 @@ class Assembler:
         cfg = self.cfg
         prefix = cfg.output_prefix
         t_start = time.time()
-        ds = Dataset(cfg.paired_end_files, cfg.single_end_files,
-                     cfg.min_overlap, log=self.log)
+        with self._timer.phase("Dataset"):
+            ds = Dataset(cfg.paired_end_files, cfg.single_end_files,
+                         cfg.min_overlap, log=self.log)
         graph = OverlapGraph(ds, cfg, log=self.log)
         self.dataset = ds
         self.graph = graph

@@ -69,6 +69,10 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv
     print("PRINTING ARGUMENTS")
     print(" ".join(argv))
+    # multi-host: joins a distributed JAX runtime when MGTPU_COORDINATOR /
+    # MGTPU_NUM_PROCESSES / MGTPU_PROCESS_ID are set; no-op otherwise
+    from .parallel.launcher import initialize_distributed
+    initialize_distributed()
     cfg = parse_arguments(argv)
     Assembler(cfg).run()
 

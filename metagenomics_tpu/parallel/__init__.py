@@ -13,6 +13,8 @@ probe loop, HashTable.cpp:202-221, turned into an SPMD collective).
 """
 
 from .mesh import make_mesh
+from .launcher import initialize_distributed
 from .sharded import sharded_overlap_counts, sharded_qc_canonicalize
 
-__all__ = ["make_mesh", "sharded_overlap_counts", "sharded_qc_canonicalize"]
+__all__ = ["make_mesh", "initialize_distributed",
+           "sharded_overlap_counts", "sharded_qc_canonicalize"]
