@@ -111,7 +111,7 @@ def measure_ours():
         return time.time() - t0
 
     run_once()                      # warm-up
-    dt = min(run_once() for _ in range(2))
+    dt = min(run_once() for _ in range(3))
     return ds.number_of_unique_reads, dt
 
 
