@@ -421,11 +421,23 @@ static void scan_reads(
     OverlapScratch *out) {
     const key_t128 mask =
         (l * 2 >= 128) ? ~(key_t128)0 : (((key_t128)1 << (2 * l)) - 1);
+    // per-read survivor buffer: the probe chain (bloom word -> range bucket
+    // -> index entries) is three dependent random accesses; staging the
+    // bloom survivors per read and prefetching the next stage's lines turns
+    // serial miss latency into overlapped misses
+    struct Probe {
+        int32_t j;
+        key_t128 key;
+        uint32_t lo, hi;
+    };
+    std::vector<Probe> pass;
     for (int64_t i = r_begin; i < r_end; i++) {
         int64_t len1 = lengths[i];
         if (len1 <= l) continue;
         const uint8_t *s1 = codes_fwd + i * lmax;
-        // rolling exact key over s1[j .. j+l)
+        // stage 1: rolling exact key over s1[j .. j+l), bloom test, prefetch
+        // the range-table line for survivors
+        pass.clear();
         key_t128 key = 0;
         for (int64_t k = 0; k < l; k++) key = (key << 2) | (s1[k] & 3);
         for (int64_t j = 1; j < len1 - l; j++) {
@@ -433,15 +445,27 @@ static void scan_reads(
             uint64_t h = mix_key(key);
             uint64_t bit = h & ((1ULL << 24) - 1);
             if (!(bloom[bit >> 6] >> (bit & 63) & 1)) continue;
-            // lower_bound within the top-bits range bucket
-            uint64_t p = (uint64_t)(key >> range_shift);
-            size_t lo = range_tab[p], hi = range_tab[p + 1];
+            __builtin_prefetch(&range_tab[(uint64_t)(key >> range_shift)]);
+            pass.push_back({(int32_t)j, key, 0, 0});
+        }
+        // stage 2: range lookups, prefetch the first index line per bucket
+        for (Probe &pr : pass) {
+            uint64_t p = (uint64_t)(pr.key >> range_shift);
+            pr.lo = range_tab[p];
+            pr.hi = range_tab[p + 1];
+            if (pr.lo < pr.hi) __builtin_prefetch(&idx[pr.lo]);
+        }
+        // stage 3: binary search within the (tiny) bucket + verification
+        for (const Probe &pr : pass) {
+            int64_t j = pr.j;
+            key_t128 pkey = pr.key;
+            size_t lo = pr.lo, hi = pr.hi;
             while (lo < hi) {
                 size_t mid = (lo + hi) >> 1;
-                if (idx[mid].key < key) lo = mid + 1;
+                if (idx[mid].key < pkey) lo = mid + 1;
                 else hi = mid;
             }
-            for (size_t e = lo; e < n_idx && idx[e].key == key; e++) {
+            for (size_t e = lo; e < n_idx && idx[e].key == pkey; e++) {
                 int32_t r2 = idx[e].rid;
                 int8_t orient = idx[e].orient;
                 int64_t len2 = lengths[r2];
