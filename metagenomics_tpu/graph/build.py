@@ -12,6 +12,7 @@ interior manifests match the reference's.
 import numpy as np
 
 from ..ops.overlap import verify_candidates
+from ..utils.stdsort import std_sort
 from .core import Edge
 
 UNEXPLORED, EXPLORED, EXPLORED_MARKED = 0, 1, 2
@@ -184,7 +185,7 @@ class BuildMixin:
                     continue
                 self.insert_edge(rn, dest, int(cand[1][k]), int(cand[2][k]))
             if adj[rn]:
-                adj[rn].sort(key=lambda e: e.offset)
+                std_sort(adj[rn], lambda a, b: a.offset < b.offset)
 
         counter = 0
         for i in range(1, u + 1):

@@ -236,10 +236,13 @@ class GraphCore:
     # ------------------------------------------------------------- sorting
 
     def sort_edges(self):
-        """Sort each adjacency by destination id (OverlapGraph.cpp:2799-2808)."""
+        """Sort each adjacency by destination id (OverlapGraph.cpp:2799-2808).
+        std::sort semantics: tie order (parallel edges) must match libstdc++
+        introsort, not input order."""
+        from ..utils.stdsort import std_sort
         for lst in self.adj:
             if lst:
-                lst.sort(key=lambda e: e.destination)
+                std_sort(lst, lambda a, b: a.destination < b.destination)
 
     # ----------------------------------------------------- string recovery
 
@@ -322,9 +325,11 @@ class GraphCore:
             f.write("".join(gdl))
         self.log("Aisee graph written.")
 
-        # std::sort ascending by offset then reverse (OverlapGraph.cpp:478-479);
-        # stable sort + reverse reproduces the small-range insertion-sort ties.
-        contig_edges.sort(key=lambda e: e.offset)
+        # std::sort ascending by offset, then emitted in reverse iteration
+        # order (OverlapGraph.cpp:478-479).  Tied offsets must follow
+        # libstdc++ introsort order, hence the behavioral std::sort clone.
+        from ..utils.stdsort import std_sort
+        std_sort(contig_edges, lambda a, b: a.offset < b.offset)
         contig_edges.reverse()
         total = 0
         with open(contig_path, "w") as f:

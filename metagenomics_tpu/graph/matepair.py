@@ -244,7 +244,8 @@ class MatePairMixin:
                                     or ek1.source != ek1.destination):
                                 supports.append(_PairSupport(ek, ek1))
 
-        supports.sort(key=lambda p: -p.support)
+        from ..utils.stdsort import std_sort
+        std_sort(supports, lambda a, b: a.support > b.support)
 
         merged = 0
         for i, ps in enumerate(supports):

@@ -76,7 +76,8 @@ class ScaffoldMixin:
                         supports.append(
                             _PairSupport(list1[0].reverse, list2[0], dist))
 
-        supports.sort(key=lambda p: -p.support)
+        from ..utils.stdsort import std_sort
+        std_sort(supports, lambda a, b: a.support > b.support)
 
         merged = 0
         for i, ps in enumerate(supports):

@@ -533,11 +533,13 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
             g->insert_edge(rn, dest, cand_orient[k], cand_offset[k]);
         }
         auto &lst = g->adj[rn];
+        // plain std::sort to match the reference's introsort tie order for
+        // equal offsets (OverlapGraph.cpp:563)
         if (!lst.empty())
-            std::stable_sort(lst.begin(), lst.end(),
-                             [](const AdjE &a, const AdjE &b) {
-                                 return a.e->offset < b.e->offset;
-                             });
+            std::sort(lst.begin(), lst.end(),
+                      [](const AdjE &a, const AdjE &b) {
+                          return a.e->offset < b.e->offset;
+                      });
     };
 
     for (size_t ni = 0; ni < nn; ni++) {
