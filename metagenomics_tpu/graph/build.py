@@ -11,7 +11,7 @@ interior manifests match the reference's.
 
 import numpy as np
 
-from ..ops.overlap import verify_candidates
+from ..ops.overlap import CandidateBatch, verify_candidates
 from ..utils.stdsort import std_sort
 from .core import Edge
 
@@ -109,17 +109,55 @@ class BuildMixin:
 
     def build_from_pipeline(self, pipeline):
         """buildOverlapGraphFromHashTable over the fully device-resident
-        overlap pipeline (ops/device_overlap.py)."""
+        overlap pipeline (ops/device_overlap.py): the device emits the
+        verified survivor stream, the threaded native replay builds the
+        graph from it (mg_build_stream), Python materializes the result."""
+        import os
         ds = self.ds
         mixed = ds.longest_read_length != ds.shortest_read_length
-        batch, eo, eoff, edge_ok, cont_ok = pipeline.candidates(
-            check_cont=mixed)
+        counts, r2, meta = pipeline.stream(check_cont=mixed)
+
+        if (getattr(self.cfg, "use_native_build", True)
+                and not os.environ.get("MGTPU_NO_NATIVE")):
+            from .. import native
+            res = native.build_graph_stream(
+                ds.lengths, counts, r2, meta, mixed, self.cfg.dead_end_length)
+            if res is not None:
+                ds.super_read_id[:] = res["supers"]
+                self._log_contained(mixed)
+                ds.read_mate_pairs_from_file()
+                self._load_native_result(res)
+                self.log("counter: %10d Nodes: %10d Edges: %10d"
+                         % (ds.number_of_unique_reads, self.number_of_nodes,
+                            self.number_of_edges // 2))
+                return
+
+        # pure-Python fallback: unpack the stream and replay in Python
+        r1 = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        eo = (meta & 3).astype(np.int64)
+        eoff = (meta >> 4).astype(np.int64)
+        edge_ok = ((meta >> 2) & 1).astype(bool)
+        cont_ok = ((meta >> 3) & 1).astype(bool)
+        batch = CandidateBatch(r1=r1, j=np.zeros_like(r1),
+                               r2=r2.astype(np.int64),
+                               orient=np.zeros(len(r1), np.uint8))
         self._mark_contained_from_hits(batch, cont_ok)
         ds.read_mate_pairs_from_file()
         sup = ds.super_read_id
         keep = edge_ok & (sup[batch.r1] == 0) & (sup[batch.r2] == 0)
         self._build_from_filtered(batch.r1[keep], batch.r2[keep],
                                   eo[keep], eoff[keep])
+
+    def _log_contained(self, mixed):
+        ds = self.ds
+        if not mixed:
+            self.log("All reads are of same length. No contained reads.")
+            return
+        contained = int((ds.super_read_id[1:] != 0).sum())
+        self.log("%10d Non-contained reads. (Keep as is)"
+                 % (ds.number_of_unique_reads - contained))
+        self.log("%10d contained reads. (Need to change their mate-pair "
+                 "information)" % contained)
 
     def build_from_index(self, index):
         """buildOverlapGraphFromHashTable equivalent (OverlapGraph.cpp:107-218)

@@ -58,6 +58,11 @@ def get_lib():
         lib.mg_assemble.argtypes = [
             ctypes.c_int64, _I64P, _U8P, _U8P, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.mg_build_stream.restype = ctypes.c_void_p
+        lib.mg_build_stream.argtypes = [
+            ctypes.c_int64, _I64P, _I64P,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
         lib.mg_supers.restype = None
         lib.mg_supers.argtypes = [ctypes.c_void_p, _I64P]
         for name in ("mg_num_edges", "mg_num_nodes", "mg_graph_num_edges",
@@ -103,6 +108,31 @@ def build_graph_native(lengths, contained, cand_start, cand_dest,
         cand_orient.ctypes.data_as(_I8P), _p64(cand_offset),
         dead_end_length)
     return _extract_result(lib, h, n_reads, want_supers=False)
+
+
+def build_graph_stream(lengths, counts, r2, meta, mixed, dead_end_length,
+                       n_threads=None):
+    """Threaded native replay of the device pipeline's survivor stream
+    (per-read counts + (r2, meta) in reference discovery order; meta bits:
+    0-1 edge orientation, 2 edge_ok, 3 cont_ok, 4-15 overlap offset).
+    Performs containment replay + super filter + BFS construction; returns
+    the graph dict with a 'supers' array, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    n_reads = len(lengths) - 1
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    r2 = np.ascontiguousarray(r2, dtype=np.int32)
+    meta = np.ascontiguousarray(meta, dtype=np.uint16)
+    h = lib.mg_build_stream(
+        n_reads, _p64(lengths), _p64(counts),
+        r2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        len(r2), 1 if mixed else 0, dead_end_length, n_threads)
+    return _extract_result(lib, h, n_reads, want_supers=True)
 
 
 def assemble_native(lengths, codes_fwd, codes_rev, hash_len, mixed,

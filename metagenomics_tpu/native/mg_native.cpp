@@ -628,6 +628,97 @@ Result *build_core(int64_t n_reads, const int64_t *lengths,
     return finish_result(g);
 }
 
+// Threaded BFS construction over a filtered per-read candidate stream:
+// connected components, load-balanced component buckets, per-bucket
+// construction on disjoint graph rows, row merge.  Shared by the full
+// native engine (mg_assemble) and the device-pipeline replay
+// (mg_build_stream).
+Result *construct_threaded(int64_t n_reads, const int64_t *lengths,
+                                int64_t dead_end_length, int nt,
+                                const std::vector<int64_t> &cstart,
+                                const std::vector<int32_t> &cdest,
+                                const std::vector<int8_t> &corient,
+                                const std::vector<int32_t> &coffset) {
+    double t0 = now_s();
+    std::vector<int32_t> uf(n_reads + 1);
+    for (int64_t i = 0; i <= n_reads; i++) uf[i] = (int32_t)i;
+    std::function<int32_t(int32_t)> find = [&](int32_t x) {
+        while (uf[x] != x) { uf[x] = uf[uf[x]]; x = uf[x]; }
+        return x;
+    };
+    for (int64_t r1 = 1; r1 <= n_reads; r1++)
+        for (int64_t k = cstart[r1]; k < cstart[r1 + 1]; k++) {
+            int32_t a = find((int32_t)r1), b = find((int32_t)cdest[k]);
+            if (a != b) uf[b] = a;
+        }
+    // bucket components across threads, balancing candidate counts
+    std::vector<int64_t> comp_load(n_reads + 1, 0);
+    for (int64_t r1 = 1; r1 <= n_reads; r1++)
+        comp_load[find((int32_t)r1)] += (cstart[r1 + 1] - cstart[r1]) + 1;
+    std::vector<int32_t> roots;
+    for (int64_t i = 1; i <= n_reads; i++)
+        if (find((int32_t)i) == i && comp_load[i] > 1) roots.push_back((int32_t)i);
+    std::sort(roots.begin(), roots.end(), [&](int32_t a, int32_t b) {
+        return comp_load[a] > comp_load[b];
+    });
+    std::vector<int32_t> bucket_of(n_reads + 1, 0);
+    std::vector<int64_t> bucket_load(nt, 0);
+    for (int32_t root : roots) {
+        int best = 0;
+        for (int t = 1; t < nt; t++)
+            if (bucket_load[t] < bucket_load[best]) best = t;
+        bucket_load[best] += comp_load[root];
+        bucket_of[root] = (int32_t)best;
+    }
+    std::vector<std::vector<int64_t>> bucket_nodes(nt);
+    for (int64_t i = 1; i <= n_reads; i++)
+        bucket_nodes[bucket_of[find((int32_t)i)]].push_back(i);
+    PROF("components", t0); t0 = now_s();
+
+    // --- per-bucket construction (disjoint graph rows; no locking) --------
+    std::vector<Graph *> graphs(nt, nullptr);
+    {
+        std::vector<std::thread> workers;
+        for (int t = 0; t < nt; t++) {
+            graphs[t] = new Graph(n_reads, lengths, dead_end_length);
+            graphs[t]->serial = (int64_t)t << 40;
+        }
+        auto work = [&](int t) {
+            std::vector<int8_t> explored(n_reads + 1, 0);
+            std::vector<int8_t> mark(n_reads + 1, 0);
+            run_construction(graphs[t], bucket_nodes[t].data(),
+                             bucket_nodes[t].size(), cstart.data(),
+                             cdest.data(), corient.data(), coffset.data(),
+                             explored.data(), mark.data());
+        };
+        if (nt == 1) work(0);
+        else {
+            for (int t = 0; t < nt; t++) workers.emplace_back(work, t);
+            for (auto &th : workers) th.join();
+        }
+    }
+    // merge rows of buckets 1..nt-1 into bucket 0's graph
+    Graph *g0 = graphs[0];
+    for (int t = 1; t < nt; t++) {
+        Graph *gt = graphs[t];
+        for (int64_t i : bucket_nodes[t]) {
+            g0->adj[i] = std::move(gt->adj[i]);
+            g0->locf_e[i] = std::move(gt->locf_e[i]);
+            g0->locf_d[i] = std::move(gt->locf_d[i]);
+            g0->locr_e[i] = std::move(gt->locr_e[i]);
+            g0->locr_d[i] = std::move(gt->locr_d[i]);
+        }
+        g0->n_nodes += gt->n_nodes;
+        g0->n_edges += gt->n_edges;
+        if (gt->serial > g0->serial) g0->serial = gt->serial;
+    }
+    PROF("build", t0); t0 = now_s();
+    Result *res = finish_result(g0);
+    for (int t = 1; t < nt; t++) res->extra.push_back(graphs[t]);
+    PROF("finish", t0);
+    return res;
+}
+
 }  // namespace
 
 extern "C" {
@@ -784,83 +875,68 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
                 total, cdest.size(), idx.size());
     PROF("filter", t0); t0 = now_s();
 
-    // --- connected components over the filtered candidate graph -----------
-    std::vector<int32_t> uf(n_reads + 1);
-    for (int64_t i = 0; i <= n_reads; i++) uf[i] = (int32_t)i;
-    std::function<int32_t(int32_t)> find = [&](int32_t x) {
-        while (uf[x] != x) { uf[x] = uf[uf[x]]; x = uf[x]; }
-        return x;
-    };
-    for (int64_t r1 = 1; r1 <= n_reads; r1++)
-        for (int64_t k = cstart[r1]; k < cstart[r1 + 1]; k++) {
-            int32_t a = find((int32_t)r1), b = find((int32_t)cdest[k]);
-            if (a != b) uf[b] = a;
-        }
-    // bucket components across threads, balancing candidate counts
-    std::vector<int64_t> comp_load(n_reads + 1, 0);
-    for (int64_t r1 = 1; r1 <= n_reads; r1++)
-        comp_load[find((int32_t)r1)] += (cstart[r1 + 1] - cstart[r1]) + 1;
-    std::vector<int32_t> roots;
-    for (int64_t i = 1; i <= n_reads; i++)
-        if (find((int32_t)i) == i && comp_load[i] > 1) roots.push_back((int32_t)i);
-    std::sort(roots.begin(), roots.end(), [&](int32_t a, int32_t b) {
-        return comp_load[a] > comp_load[b];
-    });
-    std::vector<int32_t> bucket_of(n_reads + 1, 0);
-    std::vector<int64_t> bucket_load(nt, 0);
-    for (int32_t root : roots) {
-        int best = 0;
-        for (int t = 1; t < nt; t++)
-            if (bucket_load[t] < bucket_load[best]) best = t;
-        bucket_load[best] += comp_load[root];
-        bucket_of[root] = (int32_t)best;
-    }
-    std::vector<std::vector<int64_t>> bucket_nodes(nt);
-    for (int64_t i = 1; i <= n_reads; i++)
-        bucket_nodes[bucket_of[find((int32_t)i)]].push_back(i);
-    PROF("components", t0); t0 = now_s();
+    Result *res = construct_threaded(n_reads, lengths, dead_end_length, nt,
+                                     cstart, cdest, corient, coffset);
+    res->supers = std::move(supers);
+    return res;
+}
 
-    // --- per-bucket construction (disjoint graph rows; no locking) --------
-    std::vector<Graph *> graphs(nt, nullptr);
+// Stream replay of the device overlap pipeline's survivor stream
+// (ops/device_overlap.py): per-read survivor counts + (r2, meta) pairs in
+// reference discovery order.  meta: bits 0-1 edge orientation, bit 2
+// edge_ok, bit 3 cont_ok, bits 4-15 overlap offset.  Performs the
+// contained-read replay (OverlapGraph.cpp:225-290), the super-read filter
+// (:548) and the threaded BFS construction.
+void *mg_build_stream(int64_t n_reads, const int64_t *lengths,
+                      const int64_t *counts, const int32_t *r2s,
+                      const uint16_t *metas, int64_t n_items, int64_t mixed,
+                      int64_t dead_end_length, int64_t n_threads) {
+    double t0 = now_s();
+    int nt = (int)n_threads;
+    if (nt < 1) nt = 1;
+    std::vector<int64_t> supers(n_reads + 1, 0);
+    if (mixed) {
+        int64_t ofs = 0;
+        for (int64_t r1 = 1; r1 <= n_reads; r1++) {
+            for (int64_t k = ofs; k < ofs + counts[r1]; k++) {
+                if (!(metas[k] & 8)) continue;       // cont_ok bit
+                int32_t r2 = r2s[k];
+                // device kernel already enforced len[r1] > len[r2]
+                if (supers[r2] == 0) supers[r2] = r1;
+                else if (lengths[r1] > lengths[supers[r2]]) supers[r2] = r1;
+            }
+            ofs += counts[r1];
+        }
+        (void)n_items;
+    }
+    std::vector<int64_t> cstart(n_reads + 2, 0);
+    std::vector<int32_t> cdest;
+    std::vector<int8_t> corient;
+    std::vector<int32_t> coffset;
+    cdest.reserve((size_t)n_items);
+    corient.reserve((size_t)n_items);
+    coffset.reserve((size_t)n_items);
     {
-        std::vector<std::thread> workers;
-        for (int t = 0; t < nt; t++) {
-            graphs[t] = new Graph(n_reads, lengths, dead_end_length);
-            graphs[t]->serial = (int64_t)t << 40;
+        int64_t ofs = 0;
+        for (int64_t r1 = 1; r1 <= n_reads; r1++) {
+            cstart[r1] = (int64_t)cdest.size();
+            if (supers[r1] == 0) {
+                for (int64_t k = ofs; k < ofs + counts[r1]; k++) {
+                    if (!(metas[k] & 4)) continue;   // edge_ok bit
+                    int32_t r2 = r2s[k];
+                    if (supers[r2] != 0) continue;
+                    cdest.push_back(r2);
+                    corient.push_back((int8_t)(metas[k] & 3));
+                    coffset.push_back((int32_t)(metas[k] >> 4));
+                }
+            }
+            ofs += counts[r1];
         }
-        auto work = [&](int t) {
-            std::vector<int8_t> explored(n_reads + 1, 0);
-            std::vector<int8_t> mark(n_reads + 1, 0);
-            run_construction(graphs[t], bucket_nodes[t].data(),
-                             bucket_nodes[t].size(), cstart.data(),
-                             cdest.data(), corient.data(), coffset.data(),
-                             explored.data(), mark.data());
-        };
-        if (nt == 1) work(0);
-        else {
-            for (int t = 0; t < nt; t++) workers.emplace_back(work, t);
-            for (auto &th : workers) th.join();
-        }
+        cstart[n_reads + 1] = (int64_t)cdest.size();
     }
-    // merge rows of buckets 1..nt-1 into bucket 0's graph
-    Graph *g0 = graphs[0];
-    for (int t = 1; t < nt; t++) {
-        Graph *gt = graphs[t];
-        for (int64_t i : bucket_nodes[t]) {
-            g0->adj[i] = std::move(gt->adj[i]);
-            g0->locf_e[i] = std::move(gt->locf_e[i]);
-            g0->locf_d[i] = std::move(gt->locf_d[i]);
-            g0->locr_e[i] = std::move(gt->locr_e[i]);
-            g0->locr_d[i] = std::move(gt->locr_d[i]);
-        }
-        g0->n_nodes += gt->n_nodes;
-        g0->n_edges += gt->n_edges;
-        if (gt->serial > g0->serial) g0->serial = gt->serial;
-    }
-    PROF("build", t0); t0 = now_s();
-    Result *res = finish_result(g0);
-    for (int t = 1; t < nt; t++) res->extra.push_back(graphs[t]);
-    PROF("finish", t0);
+    PROF("stream-filter", t0);
+    Result *res = construct_threaded(n_reads, lengths, dead_end_length, nt,
+                                     cstart, cdest, corient, coffset);
     res->supers = std::move(supers);
     return res;
 }

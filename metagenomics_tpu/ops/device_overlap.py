@@ -4,20 +4,32 @@ This is the hot path of the assembler (the reference's insertDataset +
 insertAllEdgesOfRead probe loops, HashTable.cpp:50-104 and
 OverlapGraph.cpp:529-565) re-designed TPU-first:
 
-* read codes are uploaded once; every subsequent step stays in HBM,
-* window keys come from a rolling polynomial hash (one lax.scan over the
-  read length, O(N*Lmax) work instead of O(N*Lmax*l)),
+* reads are uploaded ONCE as 2-bit packed uint32 words (16 bases/word,
+  ~1/8 the bytes of the code arrays); the reverse complement and the uint8
+  code views are derived on device,
+* window keys come from a rolling polynomial hash (Pallas tile kernel on
+  TPU, lax.scan elsewhere; bit-identical, tests/test_ops.py),
 * the 4-entries-per-read index is sorted on device (stable, so buckets keep
   the reference's (read id, orient) order),
-* queries are joined by vectorized binary search, candidates are emitted
-  into a static-capacity buffer (cumsum + searchsorted inverse mapping),
-* overlap AND containment verification run inline on the gathered windows,
-* survivors are compacted (stable) and downloaded once per read-chunk.
+* a branchless vectorized binary search counts the hits of every
+  (read, position) probe; ONE scalar comes back to the host to size the
+  emission buffer (no capacity-doubling retries),
+* candidate expansion is a scatter + cummax (no per-slot binary search),
+* overlap AND containment verification compare 2-bit packed words — two
+  row gathers and a shifted XOR per candidate instead of per-base gathers,
+* survivors are compacted (stable, so the stream stays in the reference's
+  discovery order: read asc, position asc, bucket order) and downloaded as
+  a packed (r2:int32, meta:uint16) stream plus per-read counts — the exact
+  input of the threaded native replay (native/mg_native.cpp mg_build_stream).
 
 Hash collisions are harmless: verification compares the full window
 including the seed, so the accepted candidate set is exactly the
-reference's.  Everything is shape-static per (chunk_rows, cap) pair, so each
-tier compiles once; chunk overflow triggers a retry at double capacity.
+reference's.  Work is tiled into row chunks whose candidate totals fit a
+fixed-capacity buffer, so each (queries, cap) tier compiles once and
+chunk downloads overlap the next chunk's compute via async dispatch.
+
+meta layout (uint16): bits 0-1 edge orientation, bit 2 edge_ok,
+bit 3 cont_ok, bits 4-15 overlap offset (lengths < 4096 enforced).
 """
 
 from functools import partial
@@ -32,6 +44,8 @@ _B1 = jnp.uint32(0x01000193)     # FNV prime
 _B2 = jnp.uint32(0x9E3779B1)     # golden-ratio odd constant
 _M1 = jnp.uint32(0x85EBCA6B)
 _M2 = jnp.uint32(0xC2B2AE35)
+
+PAD_HASH = np.uint32(0xFFFFFFFF)
 
 
 def _pow_u32(base: int, exp: int) -> int:
@@ -82,7 +96,7 @@ def _index_kernel(hf, hr, lengths, hash_len):
     sk, srid, sorient = jax.lax.sort((keys, rid, orient), num_keys=1,
                                      is_stable=True)
     # run-length table aligned to each run's FIRST element: a query q with
-    # left = searchsorted(sk, q) hits a bucket iff sk[left] == q, and the
+    # left = lower_bound(sk, q) hits a bucket iff sk[left] == q, and the
     # bucket size is run_len[left] — one binary search per query instead of
     # left+right pairs.
     m = sk.shape[0]
@@ -97,110 +111,260 @@ def _index_kernel(hf, hr, lengths, hash_len):
     return sk, srid, sorient, run_len
 
 
-def _gather_rows(codes, idx):
-    return codes[idx]
+# --------------------------------------------------------------- bit packing
+
+def pack_codes_host(codes):
+    """2-bit pack [n, lmax] uint8 codes into [n, ceil(lmax/16)] uint32 words
+    (LSB-first lanes).  Pad columns (PAD_CODE) pack as base 0 ('A'): the
+    window hash maps both to the same symbol and verification masks to the
+    compared length, so the padding value is immaterial."""
+    n, lmax = codes.shape
+    w = (lmax + 15) // 16
+    c = np.zeros((n, 16 * w), np.uint32)
+    c[:, :lmax] = codes & 3
+    lanes = c.reshape(n, w, 16)
+    sh = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    return (lanes << sh).sum(axis=2, dtype=np.uint32)
+
+
+@partial(jax.jit, static_argnames=("lmax",))
+def _unpack_codes(words, lmax):
+    """Inverse of pack_codes_host: [n, w] uint32 -> [n, lmax] uint8 in 0..3
+    (padding positions read as 0)."""
+    n, w = words.shape
+    sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    lanes = (words[:, :, None] >> sh) & 3
+    return lanes.reshape(n, 16 * w)[:, :lmax].astype(jnp.uint8)
+
+
+@jax.jit
+def _rc_codes(codes, lengths):
+    """Reverse complement of uint8 code rows (positions >= length -> 0)."""
+    lmax = codes.shape[1]
+    k = jnp.arange(lmax)[None, :]
+    src = jnp.clip(lengths[:, None] - 1 - k, 0, lmax - 1).astype(jnp.int32)
+    g = jnp.take_along_axis(codes, src, axis=1)
+    return jnp.where(k < lengths[:, None], 3 - g, 0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _pack_codes_device(codes, w):
+    n, lmax = codes.shape
+    c = jnp.pad(codes.astype(jnp.uint32) & 3, ((0, 0), (0, 16 * w - lmax)))
+    lanes = c.reshape(n, w, 16)
+    sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    return (lanes << sh).sum(axis=2, dtype=jnp.uint32)
+
+
+# ------------------------------------------------------------------- kernels
+
+@partial(jax.jit, static_argnames=("hash_len", "rounds"))
+def _probe_counts(hf, lengths, keys_p2, run_len_p2, rtab, hash_len, rounds):
+    """Hit position + bucket size for every (read, j) probe.
+
+    keys_p2 is the sorted index hash array padded with PAD_HASH (run_len_p2
+    zero-padded).  rtab is a prefix range table over the top bits of the
+    hash: rtab[b] = first index whose key >= b << S, so each query's
+    lower_bound is confined to [rtab[b], rtab[b+1]) and needs only `rounds`
+    branchless bisection rounds (rounds >= ceil(log2(max span))) — a few
+    big-vector gathers instead of log2(index) of them.  Returns (left,
+    counts, row_totals); only row_totals ([n+1] int32) crosses to the host.
+    """
+    n1, npos = hf.shape
+    l = hash_len
+    q = hf.reshape(-1)
+    jj = jnp.arange(npos, dtype=jnp.int32)[None, :]
+    valid = (jj >= 1) & (jj < (lengths[:, None] - l))
+    tbits = (rtab.shape[0] - 1).bit_length() - 1
+    shift = jnp.uint32(32 - tbits)
+    b = (q >> shift).astype(jnp.int32)
+    pos = rtab[b]
+    hi = rtab[b + 1]
+    step = jnp.int32(1 << (rounds - 1))
+    for _ in range(rounds):                  # unrolled branchless bisection
+        cand = pos + step
+        v = keys_p2[jnp.minimum(cand, hi) - 1]
+        pos = jnp.where((cand <= hi) & (v < q), cand, pos)
+        step = step >> 1
+    safe = jnp.minimum(pos, keys_p2.shape[0] - 1)
+    hit = keys_p2[safe] == q
+    counts = jnp.where(valid.reshape(-1) & hit, run_len_p2[safe], 0)
+    return pos, counts, counts.reshape(n1, npos).sum(axis=1, dtype=jnp.int32)
 
 
 @partial(jax.jit,
-         static_argnames=("hash_len", "cap", "rows", "check_cont"))
-def _join_verify_kernel(codes_fwd, codes_rev, lengths, hf,
-                        sorted_hash, sorted_rid, sorted_orient, run_len,
-                        hash_len, cap, row0, rows, check_cont):
-    l = hash_len
-    lmax = codes_fwd.shape[1]
-    npos = hf.shape[1]
-    q = jax.lax.dynamic_slice(hf, (row0, 0), (rows, npos))       # [R, npos]
-    lens_c = jax.lax.dynamic_slice(lengths, (row0,), (rows,))
-    jj = jnp.arange(npos)[None, :]
-    valid = (jj >= 1) & (jj < (lens_c[:, None] - l))
-    qf = q.reshape(-1)
-    left = jnp.searchsorted(sorted_hash, qf, side="left").astype(jnp.int32)
-    safe_left = jnp.minimum(left, sorted_hash.shape[0] - 1)
-    hit = sorted_hash[safe_left] == qf
-    counts = jnp.where(valid.reshape(-1) & hit, run_len[safe_left], 0)
-    cum = jnp.cumsum(counts)
-    total = cum[-1]
+         static_argnames=("hash_len", "nq", "cap", "npos", "w", "wp",
+                          "check_cont"))
+def _emit_kernel(packed2, lengths, left_pad, counts_pad, sorted_rid,
+                 sorted_orient, q0, hash_len, nq, cap, npos, w, wp,
+                 check_cont):
+    """Expand + verify + compact one query window [q0, q0+nq).
 
+    packed2 = [2*(n+1), wp] uint32: forward rows then reverse rows, each
+    2-bit packed with wp >= 2w+1 columns (shift spill padding).  Emits the
+    survivor stream for the window: (r2, meta) compacted to the front of
+    cap-sized buffers plus per-read survivor counts and the kept total.
+    """
+    l = hash_len
+    nrows = packed2.shape[0] // 2
+    left = jax.lax.dynamic_slice(left_pad, (q0,), (nq,))
+    counts = jax.lax.dynamic_slice(counts_pad, (q0,), (nq,))
+
+    # ---- expansion: scatter each probe's first slot, fill with cummax ----
+    cum = jnp.cumsum(counts, dtype=jnp.int32)
+    total = cum[-1]
+    starts = cum - counts
+    qi = jnp.arange(nq, dtype=jnp.int32)
+    dest = jnp.where(counts > 0, starts, cap)
+    seed = jnp.zeros((cap,), jnp.int32).at[dest].max(qi, mode="drop")
+    qidx = jax.lax.cummax(seed)
     k = jnp.arange(cap, dtype=jnp.int32)
-    qidx = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
-    qidx = jnp.minimum(qidx, counts.shape[0] - 1)
-    prev = jnp.where(qidx > 0, cum[jnp.maximum(qidx - 1, 0)], 0)
-    within = k - prev
     in_range = k < total
+    within = k - starts[qidx]
     src = jnp.clip(left[qidx] + within, 0, sorted_rid.shape[0] - 1)
     r2 = sorted_rid[src]
     orient = sorted_orient[src]
-    r1 = (row0 + qidx // npos).astype(jnp.int32)
-    j = (qidx % npos).astype(jnp.int32)
+    gq = q0 + qidx
+    r1 = gq // npos
+    j = gq - r1 * npos
 
     len1 = lengths[r1]
     len2 = lengths[r2]
-    str1 = _gather_rows(codes_fwd, r1)
-    fwd2 = _gather_rows(codes_fwd, r2)
-    rev2 = _gather_rows(codes_rev, r2)
-    str2 = jnp.where((orient <= 1)[:, None], fwd2, rev2)
     is_pre = (orient == 0) | (orient == 2)
 
-    def window_eq(s1, s2, m):
-        kk = jnp.arange(lmax)[None, :]
-        i1 = jnp.clip(s1[:, None] + kk, 0, lmax - 1)
-        i2 = jnp.clip(s2[:, None] + kk, 0, lmax - 1)
-        a = jnp.take_along_axis(str1, i1, axis=1)
-        b = jnp.take_along_axis(str2, i2, axis=1)
-        return jnp.where(kk < m[:, None], a == b, True).all(axis=1)
+    # ---- packed-word window comparison ----------------------------------
+    rows1 = packed2[r1]                                        # [cap, wp]
+    rows2 = packed2[jnp.where(orient <= 1, r2, r2 + nrows)]
 
-    # edge mode (checkOverlap, seed included)
+    def extract(rows, s):
+        """16-base words of the row starting at base offset s (w words)."""
+        qw = (s >> 4).astype(jnp.int32)
+        idx = jnp.clip(qw[:, None] + jnp.arange(w + 1, dtype=jnp.int32),
+                       0, wp - 1)
+        x = jnp.take_along_axis(rows, idx, axis=1)             # [cap, w+1]
+        sh = ((s & 15) << 1).astype(jnp.uint32)[:, None]
+        lo = x[:, :w]
+        hi = x[:, 1:]
+        spill = jnp.where(sh == 0, jnp.uint32(0),
+                          hi << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+        return (lo >> sh) | spill
+
+    wk16 = 16 * jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    def windows_equal(s1, s2, m):
+        x = extract(rows1, s1) ^ extract(rows2, s2)
+        nb = jnp.clip(m[:, None] - wk16, 0, 16)
+        mask = jnp.where(
+            nb >= 16, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (2 * nb).astype(jnp.uint32)) - jnp.uint32(1))
+        return ((x & mask) == 0).all(axis=1)
+
+    # edge mode (checkOverlap, OverlapGraph.cpp:354-383; seed included)
     ok_e = jnp.where(is_pre, len1 - j < len2, len2 - l >= j)
     s1_e = jnp.where(is_pre, j, 0)
-    s2_e = jnp.where(is_pre, 0, len2 - l - j)
+    s2_e = jnp.clip(jnp.where(is_pre, 0, len2 - l - j), 0, None)
     m_e = jnp.where(ok_e, jnp.where(is_pre, len1 - j, j + l), 0)
-    edge_ok = ok_e & window_eq(s1_e, jnp.clip(s2_e, 0), m_e)
+    edge_ok = ok_e & windows_equal(s1_e, s2_e, m_e)
 
     if check_cont:
+        # containment mode (checkOverlapForContainedRead, :302-340)
         m2 = len2 - l
-        ok_c = jnp.where(is_pre, len1 - j - l >= m2, j >= m2)
-        s1_c = jnp.where(is_pre, j, j - m2)
+        ok_c = jnp.where(is_pre, len1 - j - l >= m2, j >= m2) & (len1 > len2)
+        s1_c = jnp.clip(jnp.where(is_pre, j, j - m2), 0, None)
         m_c = jnp.where(ok_c, len2, 0)
-        cont_ok = (ok_c & (len1 > len2)
-                   & window_eq(jnp.clip(s1_c, 0), jnp.zeros_like(s1_c), m_c))
+        cont_ok = ok_c & windows_equal(s1_c, jnp.zeros_like(s1_c), m_c)
     else:
         cont_ok = jnp.zeros_like(edge_ok)
-
-    keep = in_range & (edge_ok | cont_ok)
-    # stable scatter compaction: kept candidates first in original order
-    # (cheaper than a sort on TPU: one cumsum + one scatter per field)
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest = jnp.where(keep, pos, cap)          # cap = out of bounds -> dropped
-    n_keep = jnp.where(keep.any(), pos[-1] + 1, 0)
 
     # edge orientation/offset derivation (OverlapGraph.cpp:550-557)
     eo = jnp.where(orient == 0, 3,
          jnp.where(orient == 1, 0,
-         jnp.where(orient == 2, 2, 1))).astype(jnp.int32)
-    eoff = jnp.where(is_pre, j, len1 - l - j).astype(jnp.int32)
+         jnp.where(orient == 2, 2, 1)))
+    eoff = jnp.where(is_pre, j, len1 - l - j)
+    meta = (eo | (edge_ok.astype(jnp.int32) << 2)
+            | (cont_ok.astype(jnp.int32) << 3)
+            | (eoff << 4)).astype(jnp.uint16)
 
-    out = [jnp.zeros((cap,), x.dtype).at[dest].set(x, mode="drop")
-           for x in (r1, j, r2, orient.astype(jnp.int32), eo, eoff,
-                     edge_ok, cont_ok)]
-    return (*out, n_keep, total)
+    # ---- stable compaction + per-read survivor counts --------------------
+    keep = in_range & (edge_ok | cont_ok)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dst = jnp.where(keep, pos, cap)
+    r2_out = jnp.zeros((cap,), jnp.int32).at[dst].set(r2, mode="drop")
+    meta_out = jnp.zeros((cap,), jnp.uint16).at[dst].set(meta, mode="drop")
+    n_keep = jnp.where(keep.any(), pos[-1] + 1, 0)
+    keep_counts = jnp.zeros((nrows,), jnp.int32).at[
+        jnp.clip(r1, 0, nrows - 1)].add(keep.astype(jnp.int32), mode="drop")
+    return r2_out, meta_out, keep_counts, n_keep
+
+
+def _tier(x, lo=1 << 16):
+    """Smallest of {2^k, 3*2^(k-1)} >= x: bounds compile tiers to ~2/octave."""
+    t = lo
+    while t < x:
+        t2 = t + (t >> 1)
+        if t2 >= x:
+            return t2
+        t *= 2
+    return t
 
 
 class DeviceOverlapPipeline:
-    """Host orchestration of the device overlap pipeline."""
+    """Host orchestration of the device overlap pipeline.
 
-    def __init__(self, dataset, min_overlap, chunk_rows=32768):
+    Produces the packed survivor stream consumed by the native threaded
+    replay (graph/build.py build_from_pipeline): per-read counts, r2 ids and
+    uint16 meta words in reference discovery order.
+    """
+
+    MAX_CAP = 1 << 23      # upper bound on a chunk's candidate buffer
+
+    def __init__(self, dataset, min_overlap, chunk_rows=None):
         self.ds = dataset
         self.hash_len = min_overlap - 1
-        self.chunk_rows = chunk_rows
         ds = dataset
-        self.cf = jnp.asarray(ds.codes_fwd)
-        self.cr = jnp.asarray(ds.codes_rev)
+        lmax = ds.codes_fwd.shape[1]
+        if lmax >= 4096:
+            raise ValueError("read length >= 4096 unsupported by meta packing")
+        self.lmax = lmax
+        self.w = (lmax + 15) // 16
+        self.wp = 2 * self.w + 1
         self.lengths = jnp.asarray(ds.lengths.astype(np.int32))
-        self.hf = self._window_hashes(self.cf)
-        hr = self._window_hashes(self.cr)
-        (self.sorted_hash, self.sorted_rid, self.sorted_orient,
-         self.run_len) = _index_kernel(self.hf, hr, self.lengths,
-                                       self.hash_len)
+
+        pf = jnp.asarray(pack_codes_host(ds.codes_fwd))   # the ONE upload
+        codes_fwd = _unpack_codes(pf, lmax)
+        codes_rev = _rc_codes(codes_fwd, self.lengths)
+        pr = _pack_codes_device(codes_rev, self.w)
+        pad = ((0, 0), (0, self.wp - self.w))
+        self.packed2 = jnp.concatenate(
+            [jnp.pad(pf, pad), jnp.pad(pr, pad)], axis=0)
+
+        self.hf = self._window_hashes(codes_fwd)
+        hr = self._window_hashes(codes_rev)
+        sk, srid, sorient, run_len = _index_kernel(
+            self.hf, hr, self.lengths, self.hash_len)
+        m = sk.shape[0]
+        p2 = 1 << max(1, (m - 1).bit_length())
+        self.keys_p2 = jnp.concatenate(
+            [sk, jnp.full((p2 - m,), PAD_HASH, jnp.uint32)])
+        self.run_len_p2 = jnp.concatenate(
+            [run_len, jnp.zeros((p2 - m,), jnp.int32)])
+        self.sorted_rid = srid
+        self.sorted_orient = sorient
+
+        # prefix range table over the top tbits of the hash: rtab[b] =
+        # lower_bound(keys, b << (32-tbits)); confines every probe's binary
+        # search to one bucket span so the bisection needs only
+        # bit_length(max span) rounds instead of log2(p2).
+        tbits = min(20, max(1, m.bit_length()))
+        keys_np = np.asarray(self.keys_p2)
+        bounds = (np.arange(1 << tbits, dtype=np.uint64)
+                  << np.uint64(32 - tbits)).astype(np.uint32)
+        rtab = np.empty((1 << tbits) + 1, np.int32)
+        rtab[:-1] = np.searchsorted(keys_np, bounds, side="left")
+        rtab[-1] = p2
+        self.rtab = jnp.asarray(rtab)
+        max_span = int(np.max(np.diff(rtab.astype(np.int64))))
+        self.rounds = max(1, max_span.bit_length())
 
     def _window_hashes(self, codes):
         """Window-hash kernel selection: the Pallas tile kernel on TPU
@@ -216,34 +380,76 @@ class DeviceOverlapPipeline:
                 pass
         return window_hashes_u32(codes, self.hash_len)
 
+    def stream(self, check_cont=True):
+        """Survivor stream in reference discovery order (read asc, j asc,
+        bucket order): (counts [n+1] int64, r2 int32, meta uint16)."""
+        npos = self.hf.shape[1]
+        n1 = self.hf.shape[0]
+        left, counts, row_totals = _probe_counts(
+            self.hf, self.lengths, self.keys_p2, self.run_len_p2,
+            self.rtab, self.hash_len, self.rounds)
+        row_tot = np.asarray(row_totals).astype(np.int64)
+
+        # row chunks whose candidate totals fit one fixed-cap buffer
+        grand = int(row_tot.sum())
+        cap = min(_tier(max(grand, 1)), self.MAX_CAP)
+        cap = max(cap, int(row_tot.max()) if n1 else 1)
+        bounds = [0]
+        acc = 0
+        for r in range(n1):
+            if acc + row_tot[r] > cap and bounds[-1] != r:
+                bounds.append(r)
+                acc = 0
+            acc += row_tot[r]
+        bounds.append(n1)
+
+        # zero-pad flat probe arrays once so every chunk's static-size
+        # dynamic_slice stays in bounds
+        maxq = max((bounds[i + 1] - bounds[i]) * npos
+                   for i in range(len(bounds) - 1))
+        nq_tier = _tier(maxq)
+        left_pad = jnp.concatenate(
+            [left, jnp.zeros((nq_tier,), jnp.int32)])
+        counts_pad = jnp.concatenate(
+            [counts, jnp.zeros((nq_tier,), jnp.int32)])
+
+        outs = []
+        for i in range(len(bounds) - 1):
+            q0 = bounds[i] * npos
+            outs.append(_emit_kernel(
+                self.packed2, self.lengths, left_pad, counts_pad,
+                self.sorted_rid, self.sorted_orient, q0, self.hash_len,
+                nq_tier, cap, npos, self.w, self.wp, check_cont))
+
+        keep_counts = np.zeros(n1, np.int64)
+        r2_parts, meta_parts = [], []
+        for r2_out, meta_out, kc, n_keep in outs:
+            nk = int(n_keep)
+            keep_counts += np.asarray(kc)
+            if nk == 0:
+                continue
+            sl = min(_tier(nk, lo=1 << 12), r2_out.shape[0])
+            r2_parts.append(np.asarray(r2_out[:sl])[:nk])
+            meta_parts.append(np.asarray(meta_out[:sl])[:nk])
+        if r2_parts:
+            r2 = np.concatenate(r2_parts)
+            meta = np.concatenate(meta_parts)
+        else:
+            r2 = np.zeros(0, np.int32)
+            meta = np.zeros(0, np.uint16)
+        return keep_counts, r2, meta
+
     def candidates(self, check_cont=True):
-        """Returns (CandidateBatch, edge_ok, cont_ok) in reference discovery
-        order (read asc, j asc, bucket order)."""
-        n = self.ds.number_of_unique_reads
-        fields = [[] for _ in range(8)]
-        cap = 1 << 20
-        row0 = 0
-        rows_total = n + 1
-        while row0 < rows_total:
-            rows = min(self.chunk_rows, rows_total - row0)
-            while True:
-                out = _join_verify_kernel(
-                    self.cf, self.cr, self.lengths, self.hf,
-                    self.sorted_hash, self.sorted_rid, self.sorted_orient,
-                    self.run_len, self.hash_len, cap, row0, rows, check_cont)
-                n_keep = int(out[8])
-                total = int(out[9])
-                if total <= cap:
-                    break
-                while cap < total:
-                    cap *= 2
-            for i in range(8):
-                fields[i].append(np.asarray(out[i][:n_keep]))
-            row0 += rows
-        cat = [np.concatenate(f) if f else np.zeros(0, np.int64)
-               for f in fields]
+        """Back-compat view of stream(): (CandidateBatch, edge_orient,
+        edge_offset, edge_ok, cont_ok) with j unset (the downstream replay
+        never uses j; offsets are derived in-kernel)."""
+        counts, r2, meta = self.stream(check_cont)
+        r1 = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        eo = (meta & 3).astype(np.int64)
+        edge_ok = ((meta >> 2) & 1).astype(bool)
+        cont_ok = ((meta >> 3) & 1).astype(bool)
+        eoff = (meta >> 4).astype(np.int64)
         batch = CandidateBatch(
-            r1=cat[0].astype(np.int64), j=cat[1].astype(np.int64),
-            r2=cat[2].astype(np.int64), orient=cat[3].astype(np.uint8))
-        return (batch, cat[4].astype(np.int64), cat[5].astype(np.int64),
-                cat[6].astype(bool), cat[7].astype(bool))
+            r1=r1, j=np.zeros_like(r1),
+            r2=r2.astype(np.int64), orient=np.zeros(len(r1), np.uint8))
+        return batch, eo, eoff, edge_ok, cont_ok
