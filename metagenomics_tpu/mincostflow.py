@@ -12,12 +12,15 @@ is computed by successive shortest augmenting paths with Johnson potentials
 (Dijkstra on reduced costs).  Costs are nonnegative integers, so the result
 is an exact optimum.
 
-The contracted assembly graphs this runs on are tiny (tens to a few thousand
-nodes), so the host solve is never the bottleneck; a C++ implementation with
-the same semantics is available for scale (flow_native).
+The contracted assembly graphs this runs on are usually tiny (tens to a few
+thousand nodes); for larger instances solve_min_cost_flow dispatches to the
+native C++ twin (native.solve_min_cost_flow_native / mg_mincostflow), which
+replicates this module's tie-breaking exactly and therefore returns the
+identical flow vector (tests/test_flow_native.py).
 """
 
 import heapq
+import os
 
 INF = float("inf")
 
@@ -28,6 +31,16 @@ def solve_min_cost_flow(n, arcs):
 
     Raises ValueError if the instance is infeasible.
     """
+    if not os.environ.get("MGTPU_NO_NATIVE"):
+        from . import native
+        flows = native.solve_min_cost_flow_native(n, arcs)
+        if flows is not None:
+            return flows
+    return solve_min_cost_flow_py(n, arcs)
+
+
+def solve_min_cost_flow_py(n, arcs):
+    """Pure-Python reference solver (same contract as solve_min_cost_flow)."""
     m = len(arcs)
     # residual graph: forward arc 2k, backward arc 2k+1
     head = [0] * (2 * m)

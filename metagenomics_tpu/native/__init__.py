@@ -79,6 +79,10 @@ def get_lib():
                                      _I64P]
         lib.mg_free.restype = None
         lib.mg_free.argtypes = [ctypes.c_void_p]
+        lib.mg_mincostflow.restype = ctypes.c_int64
+        lib.mg_mincostflow.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                       _I64P, _I64P, _I64P, _I64P, _I64P,
+                                       _I64P]
         _lib = lib
         return _lib
 
@@ -133,6 +137,25 @@ def build_graph_stream(lengths, counts, r2, meta, mixed, dead_end_length,
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         len(r2), 1 if mixed else 0, dead_end_length, n_threads)
     return _extract_result(lib, h, n_reads, want_supers=True)
+
+
+def solve_min_cost_flow_native(n, arcs):
+    """Native exact min-cost-flow (mg_mincostflow): identical tie-breaking
+    to mincostflow.solve_min_cost_flow, so both return the same flow vector.
+    Returns the per-arc flow list, None if the library is unavailable;
+    raises ValueError on an infeasible instance (matching the Python
+    solver)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = len(arcs)
+    a = np.asarray(arcs, dtype=np.int64).reshape(m, 5)
+    cols = [np.ascontiguousarray(a[:, k]) for k in range(5)]
+    flow = np.empty(m, dtype=np.int64)
+    rc = lib.mg_mincostflow(n, m, *(_p64(c) for c in cols), _p64(flow))
+    if rc != 0:
+        raise ValueError("infeasible min-cost flow instance")
+    return flow.tolist()
 
 
 def assemble_native(lengths, codes_fwd, codes_rev, hash_len, mixed,

@@ -20,6 +20,7 @@
 #include <chrono>
 #include <deque>
 #include <functional>
+#include <queue>
 #include <thread>
 #include <vector>
 
@@ -1036,6 +1037,89 @@ void mg_free(void *h) {
     delete r->g;   // edge pools owned by the graphs
     for (Graph *g : r->extra) delete g;
     delete r;
+}
+
+// Exact min-cost flow with lower bounds: the native twin of
+// mincostflow.solve_min_cost_flow (successive shortest augmenting paths
+// with Johnson potentials over reduced costs).  Tie-breaking matches the
+// Python solver exactly — heap entries ordered by (distance, node id),
+// strict relaxations, deficit node chosen by (distance, lowest id) — so
+// both produce the SAME optimal flow vector among alternate optima.
+// Clean-room replacement for the reference's bundled CS2
+// (MetaGenomics/CS2/cs2.h, license-restricted).  Returns 0 (optimal) or
+// -1 (infeasible); flows are written per input arc.
+int64_t mg_mincostflow(int64_t n, int64_t m, const int64_t *tail,
+                       const int64_t *head_in, const int64_t *lb,
+                       const int64_t *ub, const int64_t *cost_in,
+                       int64_t *flow_out) {
+    const int64_t INF = INT64_MAX / 4;
+    std::vector<int32_t> head(2 * m);
+    std::vector<int64_t> cap(2 * m), cost(2 * m);
+    std::vector<std::vector<int32_t>> out(n + 1);
+    std::vector<int64_t> b(n + 1, 0);
+    for (int64_t k = 0; k < m; k++) {
+        head[2 * k] = (int32_t)head_in[k];
+        cap[2 * k] = ub[k] - lb[k];
+        cost[2 * k] = cost_in[k];
+        head[2 * k + 1] = (int32_t)tail[k];
+        cap[2 * k + 1] = 0;
+        cost[2 * k + 1] = -cost_in[k];
+        out[tail[k]].push_back((int32_t)(2 * k));
+        out[head_in[k]].push_back((int32_t)(2 * k + 1));
+        b[tail[k]] -= lb[k];
+        b[head_in[k]] += lb[k];
+    }
+    std::vector<int64_t> pot(n + 1, 0), dist(n + 1);
+    std::vector<int32_t> prev_arc(n + 1);
+    std::vector<uint8_t> visited(n + 1);
+    typedef std::pair<int64_t, int32_t> QE;
+    for (;;) {
+        int64_t s = 0;
+        for (int64_t u = 1; u <= n; u++)
+            if (b[u] > 0) { s = u; break; }
+        if (s == 0) break;
+        std::fill(dist.begin(), dist.end(), INF);
+        std::fill(prev_arc.begin(), prev_arc.end(), -1);
+        std::fill(visited.begin(), visited.end(), 0);
+        dist[s] = 0;
+        std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+        pq.push({0, (int32_t)s});
+        while (!pq.empty()) {
+            QE top = pq.top(); pq.pop();
+            int32_t u = top.second;
+            if (visited[u]) continue;
+            visited[u] = 1;
+            for (int32_t a : out[u])
+                if (cap[a] > 0) {
+                    int32_t v = head[a];
+                    int64_t nd = top.first + cost[a] + pot[u] - pot[v];
+                    if (nd < dist[v]) {
+                        dist[v] = nd;
+                        prev_arc[v] = a;
+                        pq.push({nd, v});
+                    }
+                }
+        }
+        int64_t t = 0, best = INF;
+        for (int64_t u = 1; u <= n; u++)
+            if (b[u] < 0 && dist[u] < best) { best = dist[u]; t = u; }
+        if (t == 0) return -1;
+        for (int64_t u = 1; u <= n; u++)
+            pot[u] += (dist[u] < INF) ? dist[u] : best;
+        int64_t delta = b[s];
+        if (-b[t] < delta) delta = -b[t];
+        for (int64_t u = t; u != s; u = head[prev_arc[u] ^ 1])
+            if (cap[prev_arc[u]] < delta) delta = cap[prev_arc[u]];
+        for (int64_t u = t; u != s; u = head[prev_arc[u] ^ 1]) {
+            cap[prev_arc[u]] -= delta;
+            cap[prev_arc[u] ^ 1] += delta;
+        }
+        b[s] -= delta;
+        b[t] += delta;
+    }
+    for (int64_t k = 0; k < m; k++)
+        flow_out[k] = lb[k] + cap[2 * k + 1];
+    return 0;
 }
 
 }  // extern "C"

@@ -158,6 +158,16 @@ def _pack_codes_device(codes, w):
 
 # ------------------------------------------------------------------- kernels
 
+@partial(jax.jit, static_argnames=("tbits",))
+def _range_table(keys_p2, tbits):
+    """rtab[b] = lower_bound(keys, b << (32-tbits)) over the top tbits of the
+    sorted key array, plus the widest bucket span (controls bisection depth)."""
+    bkt = (keys_p2 >> jnp.uint32(32 - tbits)).astype(jnp.int32)
+    bounds = jnp.arange((1 << tbits) + 1, dtype=jnp.int32)
+    rtab = jnp.searchsorted(bkt, bounds, side="left").astype(jnp.int32)
+    return rtab, jnp.max(jnp.diff(rtab))
+
+
 @partial(jax.jit, static_argnames=("hash_len", "rounds"))
 def _probe_counts(hf, lengths, keys_p2, run_len_p2, rtab, hash_len, rounds):
     """Hit position + bucket size for every (read, j) probe.
@@ -194,10 +204,10 @@ def _probe_counts(hf, lengths, keys_p2, run_len_p2, rtab, hash_len, rounds):
 
 @partial(jax.jit,
          static_argnames=("hash_len", "nq", "cap", "npos", "w", "wp",
-                          "check_cont"))
+                          "check_cont", "off_bits"))
 def _emit_kernel(packed2, lengths, left_pad, counts_pad, sorted_rid,
                  sorted_orient, q0, hash_len, nq, cap, npos, w, wp,
-                 check_cont):
+                 check_cont, off_bits):
     """Expand + verify + compact one query window [q0, q0+nq).
 
     packed2 = [2*(n+1), wp] uint32: forward rows then reverse rows, each
@@ -281,20 +291,27 @@ def _emit_kernel(packed2, lengths, left_pad, counts_pad, sorted_rid,
          jnp.where(orient == 1, 0,
          jnp.where(orient == 2, 2, 1)))
     eoff = jnp.where(is_pre, j, len1 - l - j)
-    meta = (eo | (edge_ok.astype(jnp.int32) << 2)
-            | (cont_ok.astype(jnp.int32) << 3)
-            | (eoff << 4)).astype(jnp.uint16)
+    fe = (eo | (edge_ok.astype(jnp.int32) << 2)
+          | (cont_ok.astype(jnp.int32) << 3))
 
     # ---- stable compaction + per-read survivor counts --------------------
     keep = in_range & (edge_ok | cont_ok)
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     dst = jnp.where(keep, pos, cap)
-    r2_out = jnp.zeros((cap,), jnp.int32).at[dst].set(r2, mode="drop")
-    meta_out = jnp.zeros((cap,), jnp.uint16).at[dst].set(meta, mode="drop")
     n_keep = jnp.where(keep.any(), pos[-1] + 1, 0)
     keep_counts = jnp.zeros((nrows,), jnp.int32).at[
         jnp.clip(r1, 0, nrows - 1)].add(keep.astype(jnp.int32), mode="drop")
-    return r2_out, meta_out, keep_counts, n_keep
+    if off_bits >= 0:
+        # single uint32 word per survivor: [r2 | fe:4 | eoff:off_bits]
+        word = ((r2.astype(jnp.uint32) << (4 + off_bits))
+                | (fe.astype(jnp.uint32) << off_bits)
+                | jnp.clip(eoff, 0, (1 << off_bits) - 1).astype(jnp.uint32))
+        out = jnp.zeros((cap,), jnp.uint32).at[dst].set(word, mode="drop")
+        return out, keep_counts, n_keep
+    meta = (fe | (eoff << 4)).astype(jnp.uint16)
+    r2_out = jnp.zeros((cap,), jnp.int32).at[dst].set(r2, mode="drop")
+    meta_out = jnp.zeros((cap,), jnp.uint16).at[dst].set(meta, mode="drop")
+    return (r2_out, meta_out), keep_counts, n_keep
 
 
 def _tier(x, lo=1 << 16):
@@ -354,17 +371,21 @@ class DeviceOverlapPipeline:
         # prefix range table over the top tbits of the hash: rtab[b] =
         # lower_bound(keys, b << (32-tbits)); confines every probe's binary
         # search to one bucket span so the bisection needs only
-        # bit_length(max span) rounds instead of log2(p2).
+        # bit_length(max span) rounds instead of log2(p2).  Built on device
+        # (bucket ids of sorted keys are themselves sorted); only the scalar
+        # max span crosses to the host.
         tbits = min(20, max(1, m.bit_length()))
-        keys_np = np.asarray(self.keys_p2)
-        bounds = (np.arange(1 << tbits, dtype=np.uint64)
-                  << np.uint64(32 - tbits)).astype(np.uint32)
-        rtab = np.empty((1 << tbits) + 1, np.int32)
-        rtab[:-1] = np.searchsorted(keys_np, bounds, side="left")
-        rtab[-1] = p2
-        self.rtab = jnp.asarray(rtab)
-        max_span = int(np.max(np.diff(rtab.astype(np.int64))))
-        self.rounds = max(1, max_span.bit_length())
+        self.rtab, max_span = _range_table(self.keys_p2, tbits)
+        self.rounds = max(1, int(max_span).bit_length())
+
+        # survivor packing: one uint32 word per survivor when
+        # (r2 bits + 4 flag/orient bits + offset bits) fit, else the
+        # (r2 int32, meta uint16) pair — 6 bytes.  The packed word layout is
+        # [r2 | edge_ok/cont_ok/eo (4b) | eoff (off_bits)].
+        n = self.hf.shape[0] - 1
+        bits_r2 = max(1, n.bit_length())
+        bits_off = max(1, (lmax - min_overlap + 1).bit_length())
+        self.off_bits = bits_off if bits_r2 + 4 + bits_off <= 32 else -1
 
     def _window_hashes(self, codes):
         """Window-hash kernel selection: the Pallas tile kernel on TPU
@@ -413,27 +434,58 @@ class DeviceOverlapPipeline:
         counts_pad = jnp.concatenate(
             [counts, jnp.zeros((nq_tier,), jnp.int32)])
 
+        # dispatch every chunk (async), device-accumulate the per-read
+        # survivor counts, then fetch: all n_keep scalars in one sweep,
+        # tier-sliced survivor buffers through a small thread pool (the
+        # host link pipelines concurrent fetches), counts once.
         outs = []
+        kc_total = None
         for i in range(len(bounds) - 1):
             q0 = bounds[i] * npos
-            outs.append(_emit_kernel(
+            out, kc, n_keep = _emit_kernel(
                 self.packed2, self.lengths, left_pad, counts_pad,
                 self.sorted_rid, self.sorted_orient, q0, self.hash_len,
-                nq_tier, cap, npos, self.w, self.wp, check_cont))
+                nq_tier, cap, npos, self.w, self.wp, check_cont,
+                self.off_bits)
+            outs.append((out, n_keep))
+            kc_total = kc if kc_total is None else kc_total + kc
 
-        keep_counts = np.zeros(n1, np.int64)
-        r2_parts, meta_parts = [], []
-        for r2_out, meta_out, kc, n_keep in outs:
-            nk = int(n_keep)
-            keep_counts += np.asarray(kc)
+        n_keeps = [int(nk) for _, nk in outs]
+        slices = []
+        for (out, _), nk in zip(outs, n_keeps):
             if nk == 0:
                 continue
-            sl = min(_tier(nk, lo=1 << 12), r2_out.shape[0])
-            r2_parts.append(np.asarray(r2_out[:sl])[:nk])
-            meta_parts.append(np.asarray(meta_out[:sl])[:nk])
-        if r2_parts:
-            r2 = np.concatenate(r2_parts)
-            meta = np.concatenate(meta_parts)
+            if self.off_bits >= 0:
+                sl = min(_tier(nk, lo=1 << 12), out.shape[0])
+                slices.append((out[:sl], nk))
+            else:
+                sl = min(_tier(nk, lo=1 << 12), out[0].shape[0])
+                slices.append(((out[0][:sl], out[1][:sl]), nk))
+
+        import concurrent.futures as cf
+        def fetch(item):
+            buf, nk = item
+            if self.off_bits >= 0:
+                return np.asarray(buf)[:nk]
+            return np.asarray(buf[0])[:nk], np.asarray(buf[1])[:nk]
+        if len(slices) > 1:
+            with cf.ThreadPoolExecutor(min(4, len(slices))) as ex:
+                parts = list(ex.map(fetch, slices))
+        else:
+            parts = [fetch(s) for s in slices]
+        keep_counts = np.asarray(kc_total).astype(np.int64)
+
+        if self.off_bits >= 0:
+            packed = (np.concatenate(parts) if parts
+                      else np.zeros(0, np.uint32))
+            ob = self.off_bits
+            r2 = (packed >> np.uint32(4 + ob)).astype(np.int32)
+            meta = ((((packed >> np.uint32(ob)) & np.uint32(15))
+                     | ((packed & np.uint32((1 << ob) - 1)) << np.uint32(4)))
+                    .astype(np.uint16))
+        elif parts:
+            r2 = np.concatenate([p[0] for p in parts])
+            meta = np.concatenate([p[1] for p in parts])
         else:
             r2 = np.zeros(0, np.int32)
             meta = np.zeros(0, np.uint16)
