@@ -2,19 +2,27 @@
 """Benchmark: overlap-detection throughput (graph-construction phase).
 
 Metric: unique reads processed per second through the full overlap-detection
-phase — l-mer index build + candidate join + device verification + graph
+phase — l-mer index build + candidate join + verification + graph
 construction (BFS, transitive reduction, contraction/dead-end fixpoint).
 This corresponds to the reference's insertDataset() +
 buildOverlapGraphFromHashTable() span (MetaGenomics/HashTable.cpp:50,
 OverlapGraph.cpp:107), timed by its own CLOCKSTOP output.
 
+Two engines are measured (see BENCH_NOTES.md for the full breakdown):
+
+* native_cpu — the threaded C++ engine (the default on this machine, and
+  the headline number).
+* device_tpu — the JAX/Pallas device pipeline on the TPU backend, measured
+  end-to-end (including host<->device transfers over this machine's
+  tunneled TPU link) and device-compute-only (transfers excluded — the
+  number that transfers ride on a directly-attached TPU host).
+
 The reference baseline is measured once per dataset/binary on this machine
-and cached in bench_baseline.json (the reference is single-threaded C++;
-its own build system uses -O0, but we benchmark against an -O2 build when
-available to be conservative).
+and cached in bench_baseline.json (single-threaded C++ at -O2; its own
+build system uses -O0 — see golden/README_binaries.md).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "reads/s", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "reads/s", "vs_baseline": N, ...}
 """
 
 import json
@@ -30,6 +38,7 @@ sys.path.insert(0, REPO)
 DATA_DIR = os.path.join(REPO, "bench_data")
 DATA_FILE = os.path.join(DATA_DIR, "bench_se.fasta")
 BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
+JAX_CACHE = os.path.expanduser("~/.cache/mgtpu_jax_cache")
 
 # dataset parameters (deterministic)
 SEED = 7
@@ -74,40 +83,35 @@ def gen_bench_data():
         f.write(buf.getvalue())
 
 
-def measure_ours():
-    """Time the full overlap-detection phase (index + probe scan + verify +
-    BFS/transitive-reduction/contraction) with the default engine.  One
-    warm-up run first: page-cache/allocator warm-up is excluded, matching
-    steady-state throughput."""
-    # the native engine needs no device; avoid contending for a TPU tunnel
+def _fresh_graph(ds, cfg):
+    from metagenomics_tpu.graph import OverlapGraph
+    u = ds.number_of_unique_reads
+    ds.edges_forward = [[] for _ in range(u + 1)]
+    ds.loc_forward = [[] for _ in range(u + 1)]
+    ds.edges_reverse = [[] for _ in range(u + 1)]
+    ds.loc_reverse = [[] for _ in range(u + 1)]
+    ds.super_read_id[:] = 0
+    return OverlapGraph(ds, cfg, log=lambda *a, **k: None)
+
+
+def measure_native():
+    """The threaded C++ engine (index + probe scan + verify + construction)
+    with JAX forced to CPU so it never touches the TPU tunnel.  One warm-up
+    run, then best of 3."""
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from metagenomics_tpu.config import AssemblerConfig
     from metagenomics_tpu.dataset import Dataset
-    from metagenomics_tpu.graph import OverlapGraph
 
-    def quiet(*a, **k):
-        pass
-
-    ds = Dataset([], [DATA_FILE], MIN_OVERLAP, log=quiet)
+    ds = Dataset([], [DATA_FILE], MIN_OVERLAP, log=lambda *a, **k: None)
     cfg = AssemblerConfig(min_overlap=MIN_OVERLAP)
 
     def run_once():
-        u = ds.number_of_unique_reads
-        ds.edges_forward = [[] for _ in range(u + 1)]
-        ds.loc_forward = [[] for _ in range(u + 1)]
-        ds.edges_reverse = [[] for _ in range(u + 1)]
-        ds.loc_reverse = [[] for _ in range(u + 1)]
-        ds.super_read_id[:] = 0
-        graph = OverlapGraph(ds, cfg, log=quiet)
+        graph = _fresh_graph(ds, cfg)
         t0 = time.time()
-        if not graph.build_full_native():
-            from metagenomics_tpu.ops.device_overlap import (
-                DeviceOverlapPipeline)
-            pipeline = DeviceOverlapPipeline(ds, MIN_OVERLAP)
-            graph.build_from_pipeline(pipeline)
+        assert graph.build_full_native()
         return time.time() - t0
 
     run_once()                      # warm-up
@@ -115,8 +119,84 @@ def measure_ours():
     return ds.number_of_unique_reads, dt
 
 
+def measure_device_subprocess():
+    """Run the device-pipeline measurement in a subprocess on the default
+    (TPU) backend; returns the parsed result dict or None."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)   # let the TPU backend claim the device
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device"],
+            capture_output=True, text=True, timeout=3600, env=env)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+            if "backend" in d:
+                return d
+        except ValueError:
+            continue
+    return None
+
+
+def run_device_measurement():
+    """Child-process body: device pipeline on whatever backend JAX picks
+    (TPU when present).  Emits one JSON line with the phase breakdown."""
+    import jax
+    os.makedirs(JAX_CACHE, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", JAX_CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from metagenomics_tpu.config import AssemblerConfig
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.ops.device_overlap import DeviceOverlapPipeline
+    from metagenomics_tpu import native
+
+    ds = Dataset([], [DATA_FILE], MIN_OVERLAP, log=lambda *a, **k: None)
+    cfg = AssemblerConfig(min_overlap=MIN_OVERLAP)
+
+    def run_once():
+        graph = _fresh_graph(ds, cfg)
+        t0 = time.time()
+        pipeline = DeviceOverlapPipeline(ds, MIN_OVERLAP)
+        t1 = time.time()
+        counts, r2, meta = pipeline.stream(check_cont=False)
+        t2 = time.time()
+        res = native.build_graph_stream(ds.lengths, counts, r2, meta,
+                                        False, cfg.dead_end_length)
+        ds.super_read_id[:] = res["supers"]
+        graph._load_native_result(res)
+        t3 = time.time()
+        return {"total": t3 - t0, "index": t1 - t0, "stream": t2 - t1,
+                "build": t3 - t2}
+
+    def run_device_only():
+        t0 = time.time()
+        pipeline = DeviceOverlapPipeline(ds, MIN_OVERLAP)
+        pipeline.stream(check_cont=False, download=False)
+        return time.time() - t0
+
+    run_once()                      # warm-up (compiles cache to JAX_CACHE)
+    run_device_only()
+    runs = [run_once() for _ in range(3)]
+    best = min(runs, key=lambda r: r["total"])
+    dev = min(run_device_only() for _ in range(3))
+    n = ds.number_of_unique_reads
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "reads_per_s": round(n / best["total"], 1),
+        "device_compute_reads_per_s": round(n / dev, 1),
+        "phases_s": {k: round(v, 3) for k, v in best.items()},
+    }))
+
+
 def measure_reference():
-    """Run the reference binary on the bench dataset, parse CLOCKSTOP."""
+    """Run the reference binary on the bench dataset, parse CLOCKSTOP.
+    Pinned to the -O0 binary: the -O2 build crashes in CS2 mid-pipeline
+    (UB under optimization, see golden/README_binaries.md), and -O2's
+    pre-crash construction timings are cached in bench_baseline.json."""
     for name in ("metagenomics_ref", "metagenomics_ref_O0"):
         binary = os.path.join(REPO, "golden", name)
         if not os.path.exists(binary):
@@ -163,15 +243,39 @@ def get_baseline():
 
 def main():
     gen_bench_data()
+    if "--device" in sys.argv:
+        run_device_measurement()
+        return
     baseline = get_baseline()
-    n_reads, secs = measure_ours()
-    value = n_reads / secs
-    vs = value / baseline["reads_per_s"] if baseline else 0.0
+    base_rps = baseline["reads_per_s"] if baseline else None
+
+    device = None
+    try:
+        device = measure_device_subprocess()
+    except Exception:
+        pass
+
+    n_reads, secs = measure_native()
+    native_rps = n_reads / secs
+
+    engines = {"native_cpu": {"reads_per_s": round(native_rps, 1),
+                              "vs_baseline": round(native_rps / base_rps, 2)
+                              if base_rps else 0.0}}
+    if device:
+        device["vs_baseline"] = (round(device["reads_per_s"] / base_rps, 2)
+                                 if base_rps else 0.0)
+        device["device_compute_vs_baseline"] = (
+            round(device["device_compute_reads_per_s"] / base_rps, 2)
+            if base_rps else 0.0)
+        engines["device_tpu"] = device
+
+    value = native_rps
     print(json.dumps({
         "metric": "overlap_detection_throughput",
         "value": round(value, 1),
         "unit": "reads/s",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": round(value / base_rps, 2) if base_rps else 0.0,
+        "engines": engines,
     }))
 
 

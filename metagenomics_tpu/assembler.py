@@ -38,16 +38,24 @@ class Assembler:
         """Run the construction phase with the selected overlap engine.
 
         Engines (env MGTPU_OVERLAP_ENGINE or config):
-          native — full C++ engine (index/scan/verify/BFS); default when the
-                   library builds, best on hosts with slow device links
-          device — fully device-resident JAX pipeline (the multi-chip
-                   scaling path; best on directly-attached TPUs)
-          host   — numpy join + device verify (reference fallback)
-        All three produce byte-identical graphs (tests/test_golden.py).
+          native  — full C++ engine (index/scan/verify/BFS); default when the
+                    library builds, best on hosts with slow device links
+          device  — fully device-resident JAX pipeline (single chip)
+          sharded — SPMD pipeline over the ("dp", "ix") device mesh
+                    (parallel/sharded.py); auto-selected on a multi-chip
+                    TPU backend
+          host    — numpy join + device verify (reference fallback)
+        All four produce byte-identical graphs (tests/test_golden.py,
+        tests/test_sharded.py).
         """
         import os
         engine = os.environ.get("MGTPU_OVERLAP_ENGINE",
                                 getattr(self.cfg, "overlap_engine", "auto"))
+        if engine == "auto":
+            import jax
+            if (len(jax.devices()) > 1
+                    and jax.default_backend() == "tpu"):
+                engine = "sharded"
         if engine in ("auto", "native") and not os.environ.get(
                 "MGTPU_NO_NATIVE"):
             if graph.build_full_native():
@@ -57,6 +65,11 @@ class Assembler:
         if engine == "host":
             index = OverlapIndex(self.dataset, self.cfg.min_overlap)
             graph.build_from_index(index)
+        elif engine == "sharded":
+            from .parallel.sharded import ShardedOverlapPipeline
+            pipeline = ShardedOverlapPipeline(self.dataset,
+                                              self.cfg.min_overlap)
+            graph.build_from_pipeline(pipeline)
         else:
             from .ops.device_overlap import DeviceOverlapPipeline
             pipeline = DeviceOverlapPipeline(self.dataset, self.cfg.min_overlap)

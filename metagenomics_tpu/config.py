@@ -63,7 +63,7 @@ class AssemblerConfig:
 
     # --- New-framework options (no reference equivalent) ---
     use_native_build: bool = True      # C++ construction engine when available
-    overlap_engine: str = "auto"       # auto | native | device | host
+    overlap_engine: str = "auto"       # auto | native | device | sharded | host
 
     @property
     def hash_string_length(self) -> int:

@@ -202,23 +202,20 @@ def _probe_counts(hf, lengths, keys_p2, run_len_p2, rtab, hash_len, rounds):
     return pos, counts, counts.reshape(n1, npos).sum(axis=1, dtype=jnp.int32)
 
 
-@partial(jax.jit,
-         static_argnames=("hash_len", "nq", "cap", "npos", "w", "wp",
-                          "check_cont", "off_bits"))
-def _emit_kernel(packed2, lengths, left_pad, counts_pad, sorted_rid,
-                 sorted_orient, q0, hash_len, nq, cap, npos, w, wp,
-                 check_cont, off_bits):
-    """Expand + verify + compact one query window [q0, q0+nq).
+def _expand_verify(packed2, lengths, left, counts, sorted_rid, sorted_orient,
+                   row0, hash_len, cap, npos, w, wp, check_cont):
+    """Shared expand + verify core (traced inside _emit_kernel and the
+    sharded mesh kernel, parallel/sharded.py).
 
-    packed2 = [2*(n+1), wp] uint32: forward rows then reverse rows, each
-    2-bit packed with wp >= 2w+1 columns (shift spill padding).  Emits the
-    survivor stream for the window: (r2, meta) compacted to the front of
-    cap-sized buffers plus per-read survivor counts and the kept total.
+    left/counts are the probe results for a flat local query block whose
+    first query is position 0 of global read row `row0`; sorted_rid/orient
+    may be a key-range shard of the index (left indexes into them).
+    Returns per-slot (keep, r1, r2, qidx, fe, eoff) with qidx the LOCAL
+    query index of each candidate.
     """
     l = hash_len
+    nq = left.shape[0]
     nrows = packed2.shape[0] // 2
-    left = jax.lax.dynamic_slice(left_pad, (q0,), (nq,))
-    counts = jax.lax.dynamic_slice(counts_pad, (q0,), (nq,))
 
     # ---- expansion: scatter each probe's first slot, fill with cummax ----
     cum = jnp.cumsum(counts, dtype=jnp.int32)
@@ -234,9 +231,8 @@ def _emit_kernel(packed2, lengths, left_pad, counts_pad, sorted_rid,
     src = jnp.clip(left[qidx] + within, 0, sorted_rid.shape[0] - 1)
     r2 = sorted_rid[src]
     orient = sorted_orient[src]
-    gq = q0 + qidx
-    r1 = gq // npos
-    j = gq - r1 * npos
+    r1 = row0 + qidx // npos
+    j = qidx - (qidx // npos) * npos
 
     len1 = lengths[r1]
     len2 = lengths[r2]
@@ -293,9 +289,31 @@ def _emit_kernel(packed2, lengths, left_pad, counts_pad, sorted_rid,
     eoff = jnp.where(is_pre, j, len1 - l - j)
     fe = (eo | (edge_ok.astype(jnp.int32) << 2)
           | (cont_ok.astype(jnp.int32) << 3))
+    keep = in_range & (edge_ok | cont_ok)
+    return keep, r1, r2, qidx, fe, eoff
+
+
+@partial(jax.jit,
+         static_argnames=("hash_len", "nq", "cap", "npos", "w", "wp",
+                          "check_cont", "off_bits"))
+def _emit_kernel(packed2, lengths, left_pad, counts_pad, sorted_rid,
+                 sorted_orient, q0, hash_len, nq, cap, npos, w, wp,
+                 check_cont, off_bits):
+    """Expand + verify + compact one query window [q0, q0+nq).
+
+    packed2 = [2*(n+1), wp] uint32: forward rows then reverse rows, each
+    2-bit packed with wp >= 2w+1 columns (shift spill padding).  Emits the
+    survivor stream for the window compacted to the front of cap-sized
+    buffers plus per-read survivor counts and the kept total.
+    """
+    nrows = packed2.shape[0] // 2
+    left = jax.lax.dynamic_slice(left_pad, (q0,), (nq,))
+    counts = jax.lax.dynamic_slice(counts_pad, (q0,), (nq,))
+    keep, r1, r2, _, fe, eoff = _expand_verify(
+        packed2, lengths, left, counts, sorted_rid, sorted_orient,
+        q0 // npos, hash_len, cap, npos, w, wp, check_cont)
 
     # ---- stable compaction + per-read survivor counts --------------------
-    keep = in_range & (edge_ok | cont_ok)
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     dst = jnp.where(keep, pos, cap)
     n_keep = jnp.where(keep.any(), pos[-1] + 1, 0)
@@ -401,9 +419,14 @@ class DeviceOverlapPipeline:
                 pass
         return window_hashes_u32(codes, self.hash_len)
 
-    def stream(self, check_cont=True):
+    def stream(self, check_cont=True, download=True):
         """Survivor stream in reference discovery order (read asc, j asc,
-        bucket order): (counts [n+1] int64, r2 int32, meta uint16)."""
+        bucket order): (counts [n+1] int64, r2 int32, meta uint16).
+
+        download=False executes the full device pipeline (probe + expand +
+        verify + compact) but skips the bulk host transfers, forcing each
+        chunk only through its n_keep scalar — the device-compute-only
+        measurement mode (bench.py)."""
         npos = self.hf.shape[1]
         n1 = self.hf.shape[0]
         left, counts, row_totals = _probe_counts(
@@ -451,6 +474,8 @@ class DeviceOverlapPipeline:
             kc_total = kc if kc_total is None else kc_total + kc
 
         n_keeps = [int(nk) for _, nk in outs]
+        if not download:
+            return None
         slices = []
         for (out, _), nk in zip(outs, n_keeps):
             if nk == 0:

@@ -1,0 +1,72 @@
+"""Sharded (multi-device) overlap pipeline: byte-equality with the
+single-device run.
+
+These run on the 8-virtual-CPU-device mesh the conftest provisions.  The
+unit layer asserts the ShardedOverlapPipeline's survivor stream is
+IDENTICAL to DeviceOverlapPipeline's for every (dp, ix) mesh shape; the
+integration layer runs the full CLI with MGTPU_OVERLAP_ENGINE=sharded and
+byte-diffs every staged artifact against the golden reference outputs —
+the same oracle the single-device engines pass.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "golden")
+
+ARTIFACTS = [
+    "_sortedReads.fasta", ".unitig", "_flow.input",
+    "graph1.gdl", "contigs1.fasta", "graph2.gdl", "contigs2.fasta",
+    "graph3.gdl", "contigs3.fasta", "graph4.gdl", "contigs4.fasta",
+]
+
+
+@pytest.mark.parametrize("dp,ix", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("name,mixed", [("se_small", False),
+                                        ("se_mixlen", True)])
+def test_stream_matches_single_device(name, mixed, dp, ix):
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.ops.device_overlap import DeviceOverlapPipeline
+    from metagenomics_tpu.parallel.sharded import ShardedOverlapPipeline
+    from metagenomics_tpu.parallel.mesh import make_mesh
+
+    ds = Dataset([], [os.path.join(GOLDEN, "data", name + ".fasta")], 40,
+                 log=lambda *a, **k: None)
+    c0, r0, m0 = DeviceOverlapPipeline(ds, 40).stream(check_cont=mixed)
+    sp = ShardedOverlapPipeline(ds, 40, mesh=make_mesh(dp=dp, ix=ix))
+    c1, r1, m1 = sp.stream(check_cont=mixed)
+    assert np.array_equal(c0, c1)
+    assert np.array_equal(r0, r1)
+    assert np.array_equal(m0, m1)
+
+
+@pytest.mark.parametrize("name,args", [
+    ("pe_small", ["-pe", "1", os.path.join(GOLDEN, "data",
+                                           "pe_small.fasta")]),
+    ("se_hard", ["-se", "1", os.path.join(GOLDEN, "data",
+                                          "se_hard.fasta")]),
+])
+def test_sharded_cli_byte_equality(name, args, tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MGTPU_OVERLAP_ENGINE"] = "sharded"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, "-m", "metagenomics_tpu.cli", *args, "-f", "t_",
+         "-l", "40"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    for art in ARTIFACTS:
+        got = (tmp_path / ("t_" + art)).read_bytes()
+        want = open(os.path.join(GOLDEN, "out", name, "g_" + art),
+                    "rb").read()
+        assert got == want, "sharded artifact mismatch: %s %s" % (name, art)
