@@ -184,20 +184,45 @@ def run_device_measurement():
     best = min(runs, key=lambda r: r["total"])
     dev = min(run_device_only() for _ in range(3))
     n = ds.number_of_unique_reads
+
+    # on-TPU Pallas regression check: the tile-kernel window hashes must be
+    # bit-identical to the lax.scan reference ON THE REAL BACKEND (the
+    # interpret-mode test in tests/test_ops.py only proves CPU semantics).
+    pallas_identical = None
+    if jax.default_backend() == "tpu":
+        try:
+            import numpy as np
+            import jax.numpy as jnp
+            from metagenomics_tpu.ops.pallas_hash import window_hashes_pallas
+            from metagenomics_tpu.ops.device_overlap import window_hashes_u32
+            codes = jnp.asarray(ds.codes_fwd[:4096] & 3)
+            a = np.asarray(window_hashes_pallas(codes, MIN_OVERLAP - 1))
+            b = np.asarray(window_hashes_u32(codes, MIN_OVERLAP - 1))
+            pallas_identical = bool((a == b).all())
+            with open(os.path.join(REPO, "TPU_KERNEL_CHECK.json"), "w") as f:
+                json.dump({"backend": jax.default_backend(),
+                           "device": str(jax.devices()[0]),
+                           "kernel": "window_hashes_pallas",
+                           "rows": int(codes.shape[0]),
+                           "bit_identical": pallas_identical}, f, indent=1)
+        except Exception:
+            pallas_identical = False
+
     print(json.dumps({
         "backend": jax.default_backend(),
         "reads_per_s": round(n / best["total"], 1),
         "device_compute_reads_per_s": round(n / dev, 1),
+        "pallas_bit_identical": pallas_identical,
         "phases_s": {k: round(v, 3) for k, v in best.items()},
     }))
 
 
 def measure_reference():
     """Run the reference binary on the bench dataset, parse CLOCKSTOP.
-    Pinned to the -O0 binary: the -O2 build crashes in CS2 mid-pipeline
-    (UB under optimization, see golden/README_binaries.md), and -O2's
-    pre-crash construction timings are cached in bench_baseline.json."""
-    for name in ("metagenomics_ref", "metagenomics_ref_O0"):
+    Only the -O0 binary ships (the -O2 build crashed in CS2 mid-pipeline —
+    golden/README_binaries.md); the cached bench_baseline.json preserves
+    the faster -O2 construction-phase timing as the baseline."""
+    for name in ("metagenomics_ref_O0",):
         binary = os.path.join(REPO, "golden", name)
         if not os.path.exists(binary):
             continue

@@ -42,6 +42,22 @@ class MatePair:
         self.dataset = dataset
 
 
+class _LazyReadStrings:
+    """read id -> ASCII byte string, decoded on demand from the rank-code
+    matrix (one LUT gather per access).  Replaces the eager per-read bytes
+    lists: for metagenome-scale inputs those held ~2x the sequence bytes
+    plus per-object overhead resident for the whole run."""
+
+    __slots__ = ("codes", "lengths")
+
+    def __init__(self, codes, lengths):
+        self.codes = codes
+        self.lengths = lengths
+
+    def __getitem__(self, i):
+        return packing.codes_to_ascii(self.codes[i], int(self.lengths[i]))
+
+
 class Dataset:
     """Sorted, deduplicated canonical reads plus mate-pair metadata.
 
@@ -62,10 +78,10 @@ class Dataset:
         all_lengths = []
         counter = 0
         for path in self.pe_files + self.se_files:
-            good, bad, codes, lengths = self._read_file(path, counter)
+            chunks_codes, chunks_lens = self._read_file(path, counter)
             counter += 1
-            all_codes.append(codes)
-            all_lengths.append(lengths)
+            all_codes.extend(chunks_codes)
+            all_lengths.extend(chunks_lens)
 
         lmax = max((c.shape[1] for c in all_codes if c.size), default=0)
         codes = np.full((sum(len(l) for l in all_lengths), lmax),
@@ -97,44 +113,74 @@ class Dataset:
 
     # ------------------------------------------------------------------ ingest
 
+    # reads per QC/canonicalization batch: bounds ingest's transient arrays
+    # to ~CHUNK_READS * Lmax bytes regardless of file size
+    CHUNK_READS = 1 << 18
+
     def _read_file(self, path, dataset_number):
+        """Stream one file through fixed-size QC/canonicalize batches.
+        Returns lists of per-chunk canonical code arrays and lengths (the
+        only data kept; raw text and ASCII transients are chunk-bounded)."""
         self.log("Reading dataset: %d from file: %s" % (dataset_number, path))
-        seqs = [s.encode() for s in fastx_records(path)]
-        n = len(seqs)
-        lmax = max((len(s) for s in seqs), default=1)
-        lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
-        # one flat buffer + one gather instead of n row-copies
-        flat = np.frombuffer(b"".join(seqs) + b"\0", dtype=np.uint8)
-        offsets = np.zeros(n, dtype=np.int64)
-        if n:
+        chunks_codes = []
+        chunks_lens = []
+        buf = bytearray()
+        lens = []
+        n = 0
+        good = 0
+
+        def flush():
+            nonlocal buf, lens, good
+            if not lens:
+                return
+            lengths = np.asarray(lens, dtype=np.int64)
+            m = len(lens)
+            lmax = max(int(lengths.max()), 1)
+            flat = np.frombuffer(bytes(buf) + b"\0", dtype=np.uint8)
+            offsets = np.zeros(m, dtype=np.int64)
             np.cumsum(lengths[:-1], out=offsets[1:])
-        pos = np.minimum(offsets[:, None] + np.arange(lmax)[None, :],
-                         len(flat) - 1)
-        ascii_arr = np.where(
-            np.arange(lmax)[None, :] < lengths[:, None], flat[pos], 0)
-        codes = packing.ascii_to_codes(ascii_arr, lengths)
-        # host twins of the device kernels: ingest is IO-bound host work, so
-        # paying an XLA compile here buys nothing (equality tested in
-        # tests/test_ops.py)
-        good_mask = packing.qc_mask_np(codes, lengths, self.min_overlap)
-        good = int(good_mask.sum())
+            pos = np.minimum(offsets[:, None] + np.arange(lmax)[None, :],
+                             len(flat) - 1)
+            ascii_arr = np.where(
+                np.arange(lmax)[None, :] < lengths[:, None], flat[pos], 0)
+            codes = packing.ascii_to_codes(ascii_arr, lengths)
+            # host twins of the device kernels: ingest is IO-bound host
+            # work, so paying an XLA compile here buys nothing (equality
+            # tested in tests/test_ops.py)
+            good_mask = packing.qc_mask_np(codes, lengths, self.min_overlap)
+            gcodes = codes[good_mask]
+            glens = lengths[good_mask]
+            canon, _ = packing.canonicalize_codes_np(gcodes, glens)
+            g = int(good_mask.sum())
+            good += g
+            if g:
+                self.shortest_read_length = (
+                    int(glens.min()) if self.shortest_read_length is None
+                    else min(self.shortest_read_length, int(glens.min())))
+                self.longest_read_length = (
+                    int(glens.max()) if self.longest_read_length is None
+                    else max(self.longest_read_length, int(glens.max())))
+                chunks_codes.append(canon)
+                chunks_lens.append(glens)
+            buf = bytearray()
+            lens = []
+
+        for s in fastx_records(path):
+            b = s.encode()
+            buf += b
+            lens.append(len(b))
+            n += 1
+            if len(lens) >= self.CHUNK_READS:
+                flush()
+        flush()
+
         bad = n - good
-        gcodes = codes[good_mask]
-        glens = lengths[good_mask]
-        canon, _ = packing.canonicalize_codes_np(gcodes, glens)
-        if good:
-            self.shortest_read_length = (
-                int(glens.min()) if self.shortest_read_length is None
-                else min(self.shortest_read_length, int(glens.min())))
-            self.longest_read_length = (
-                int(glens.max()) if self.longest_read_length is None
-                else max(self.longest_read_length, int(glens.max())))
         self.number_of_reads += good
         self.log("%10d good reads in current dataset." % good)
         self.log("%10d bad reads in current dataset." % bad)
         self.log("%10d total reads in current dataset." % n)
         self.log("%10d good reads in all datasets." % self.number_of_reads)
-        return good, bad, canon, glens
+        return chunks_codes, chunks_lens
 
     # ------------------------------------------------------- sort/dedup/index
 
@@ -170,17 +216,10 @@ class Dataset:
         self.codes_rev = packing.reverse_complement_codes_np(
             self.codes_fwd, self.lengths)
 
-        # Host byte strings for the graph-surgery layer (decoded once,
-        # one LUT gather for the whole dataset then per-row slicing).
-        ascii_f = packing.codes_to_ascii_all(self.codes_fwd)
-        ascii_r = packing.codes_to_ascii_all(self.codes_rev)
-        lens = self.lengths.tolist()
-        self.read_strs = [b""] * (u + 1)
-        self.read_strs_rev = [b""] * (u + 1)
-        for i in range(1, u + 1):
-            li = lens[i]
-            self.read_strs[i] = ascii_f[i, :li].tobytes()
-            self.read_strs_rev[i] = ascii_r[i, :li].tobytes()
+        # byte-string views for the graph-surgery layer, decoded on demand
+        # from the code matrices (no resident string copies)
+        self.read_strs = _LazyReadStrings(self.codes_fwd, self.lengths)
+        self.read_strs_rev = _LazyReadStrings(self.codes_rev, self.lengths)
 
     # ------------------------------------------- read -> edge location index
 

@@ -12,29 +12,51 @@ std::getline in a `while(!eof())` loop:
   reproduce that spurious record so read-accounting matches.
 
 Paired-end variants consume two records per loop iteration (mates adjacent).
+
+Files are STREAMED through a fixed-size buffer (like the reference's
+getline loop), so resident memory is bounded by the chunk size plus one
+record — not the file size.
 """
 
 
 class _Stream:
-    """Mimics std::istream getline + eofbit semantics over an in-memory str."""
+    """std::istream getline + eofbit semantics over a chunk-buffered file."""
 
-    def __init__(self, data: str):
-        self.data = data
+    CHUNK = 1 << 22
+
+    def __init__(self, f):
+        self.f = f
+        self.buf = ""
         self.pos = 0
-        self.eof = False
+        self.eof = False          # istream eofbit
+        self._exhausted = False   # underlying file fully read
+
+    def _fill(self) -> bool:
+        if self._exhausted:
+            return False
+        chunk = self.f.read(self.CHUNK)
+        if not chunk:
+            self._exhausted = True
+            return False
+        self.buf = self.buf[self.pos:] + chunk
+        self.pos = 0
+        return True
 
     def getline(self, delim: str = "\n") -> str:
-        if self.pos >= len(self.data):
+        while True:
+            idx = self.buf.find(delim, self.pos)
+            if idx != -1:
+                s = self.buf[self.pos: idx]
+                self.pos = idx + 1
+                return s
+            if not self._fill():
+                break
+        if self.pos >= len(self.buf):
             self.eof = True
             return ""
-        idx = self.data.find(delim, self.pos)
-        if idx == -1:
-            s = self.data[self.pos:]
-            self.pos = len(self.data)
-            self.eof = True
-            return s
-        s = self.data[self.pos: idx]
-        self.pos = idx + 1
+        s = self.buf[self.pos:]
+        self.pos = len(self.buf)
+        self.eof = True
         return s
 
 
@@ -46,37 +68,40 @@ def detect_format(text: str) -> str:
     raise ValueError("Unknown input file format.")
 
 
+def _open_stream(path):
+    f = open(path)
+    st = _Stream(f)
+    st._fill()
+    return f, st, detect_format(st.buf[:1])
+
+
 def fastx_records(path: str):
     """Yield uppercased sequence strings, one per record, reference-style."""
-    with open(path) as f:
-        text = f.read()
-    fmt = detect_format(text)
-    st = _Stream(text)
-    if fmt == "fasta":
-        while not st.eof:
-            st.getline()
-            seq = st.getline(">").replace("\n", "")
-            yield seq.upper()
-    else:
-        while not st.eof:
-            lines = [st.getline() for _ in range(4)]
-            yield lines[1].upper()
+    f, st, fmt = _open_stream(path)
+    with f:
+        if fmt == "fasta":
+            while not st.eof:
+                st.getline()
+                seq = st.getline(">").replace("\n", "")
+                yield seq.upper()
+        else:
+            while not st.eof:
+                lines = [st.getline() for _ in range(4)]
+                yield lines[1].upper()
 
 
 def fastx_pairs(path: str):
     """Yield uppercased (seq1, seq2) mate pairs, two records per iteration."""
-    with open(path) as f:
-        text = f.read()
-    fmt = detect_format(text)
-    st = _Stream(text)
-    if fmt == "fasta":
-        while not st.eof:
-            st.getline()
-            s1 = st.getline(">").replace("\n", "")
-            st.getline()
-            s2 = st.getline(">").replace("\n", "")
-            yield s1.upper(), s2.upper()
-    else:
-        while not st.eof:
-            lines = [st.getline() for _ in range(8)]
-            yield lines[1].upper(), lines[5].upper()
+    f, st, fmt = _open_stream(path)
+    with f:
+        if fmt == "fasta":
+            while not st.eof:
+                st.getline()
+                s1 = st.getline(">").replace("\n", "")
+                st.getline()
+                s2 = st.getline(">").replace("\n", "")
+                yield s1.upper(), s2.upper()
+        else:
+            while not st.eof:
+                lines = [st.getline() for _ in range(8)]
+                yield lines[1].upper(), lines[5].upper()
