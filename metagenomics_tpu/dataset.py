@@ -42,6 +42,30 @@ class MatePair:
         self.dataset = dataset
 
 
+class _LazyLists:
+    """List-of-lists that creates rows on first touch.  The eager version
+    (u+1 preallocated empty lists, five structures) held ~300MB of empty
+    lists for a 1M-read dataset before any was used."""
+
+    __slots__ = ("n", "d")
+
+    def __init__(self, n):
+        self.n = n
+        self.d = {}
+
+    def __getitem__(self, i):
+        lst = self.d.get(i)
+        if lst is None:
+            lst = self.d[i] = []
+        return lst
+
+    def __setitem__(self, i, v):
+        self.d[i] = v
+
+    def __len__(self):
+        return self.n
+
+
 class _LazyReadStrings:
     """read id -> ASCII byte string, decoded on demand from the rank-code
     matrix (one LUT gather per access).  Replaces the eager per-read bytes
@@ -87,26 +111,30 @@ class Dataset:
         codes = np.full((sum(len(l) for l in all_lengths), lmax),
                         packing.PAD_CODE, dtype=np.uint8)
         row = 0
-        for c, l in zip(all_codes, all_lengths):
-            if len(l):
-                codes[row:row + len(l), :c.shape[1]] = c
-                row += len(l)
-        lengths = np.concatenate(all_lengths) if all_lengths else np.zeros(0, np.int64)
+        while all_codes:                     # consume chunks as they merge
+            c = all_codes.pop(0)
+            if len(c):
+                codes[row:row + len(c), :c.shape[1]] = c
+                row += len(c)
+        lengths = (np.concatenate(all_lengths) if all_lengths
+                   else np.zeros(0, np.int64))
+        del all_lengths
 
         self.log("Shortest read length in all datasets: %5d" % self.shortest_read_length)
         self.log(" Longest read length in all datasets: %5d" % self.longest_read_length)
 
         self._sort_and_dedup(codes, lengths)
 
-        # Per-read mutable state used by the graph layer.
+        # Per-read mutable state used by the graph layer (rows materialize
+        # on first touch).
         u = self.number_of_unique_reads
         self.super_read_id = np.zeros(u + 1, dtype=np.int64)
-        self.mate_pair_lists = [[] for _ in range(u + 1)]
+        self.mate_pair_lists = _LazyLists(u + 1)
         # read -> (edge, location) inverted index, maintained by the graph.
-        self._edges_forward = [[] for _ in range(u + 1)]
-        self._loc_forward = [[] for _ in range(u + 1)]
-        self._edges_reverse = [[] for _ in range(u + 1)]
-        self._loc_reverse = [[] for _ in range(u + 1)]
+        self._edges_forward = _LazyLists(u + 1)
+        self._loc_forward = _LazyLists(u + 1)
+        self._edges_reverse = _LazyLists(u + 1)
+        self._loc_reverse = _LazyLists(u + 1)
         # raw (array-form) location data from the native engine, converted
         # to per-read Python lists on first access (graph/build.py)
         self._pending_locations = None
@@ -114,8 +142,8 @@ class Dataset:
     # ------------------------------------------------------------------ ingest
 
     # reads per QC/canonicalization batch: bounds ingest's transient arrays
-    # to ~CHUNK_READS * Lmax bytes regardless of file size
-    CHUNK_READS = 1 << 18
+    # (the [chunk, Lmax] gather/ASCII/code matrices) regardless of file size
+    CHUNK_READS = 1 << 16
 
     def _read_file(self, path, dataset_number):
         """Stream one file through fixed-size QC/canonicalize batches.

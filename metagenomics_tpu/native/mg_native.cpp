@@ -20,6 +20,7 @@
 #include <chrono>
 #include <deque>
 #include <functional>
+#include <memory>
 #include <queue>
 #include <thread>
 #include <vector>
@@ -73,14 +74,29 @@ struct AdjE {
         : e(ed), dest((int32_t)ed->destination), orient((int8_t)ed->orient) {}
 };
 
+// Per-read row storage (adjacency + read->edge location index).  Owned by
+// one graph and SHARED by the per-thread construction graphs: worker
+// buckets partition the read ids, so threads touch disjoint rows and the
+// outer vectors are never resized — no (n+1)-row allocation per thread.
+struct Rows {
+    std::vector<std::vector<AdjE>> adj;
+    std::vector<std::vector<Edge *>> locf_e, locr_e;
+    std::vector<std::vector<int64_t>> locf_d, locr_d;
+
+    explicit Rows(int64_t n)
+        : adj(n + 1), locf_e(n + 1), locr_e(n + 1),
+          locf_d(n + 1), locr_d(n + 1) {}
+};
+
 struct Graph {
     int64_t n_reads;
     const int64_t *lengths;
     int64_t dead_end_length;
-    std::vector<std::vector<AdjE>> adj;
+    std::unique_ptr<Rows> own_rows;        // null when rows are shared
+    std::vector<std::vector<AdjE>> &adj;
     // read -> (edge, location) index, forward/reverse
-    std::vector<std::vector<Edge *>> locf_e, locr_e;
-    std::vector<std::vector<int64_t>> locf_d, locr_d;
+    std::vector<std::vector<Edge *>> &locf_e, &locr_e;
+    std::vector<std::vector<int64_t>> &locf_d, &locr_d;
     int64_t n_nodes = 0;
     int64_t n_edges = 0;
     int64_t serial = 0;
@@ -89,8 +105,15 @@ struct Graph {
 
     explicit Graph(int64_t n, const int64_t *lens, int64_t del)
         : n_reads(n), lengths(lens), dead_end_length(del),
-          adj(n + 1), locf_e(n + 1), locr_e(n + 1),
-          locf_d(n + 1), locr_d(n + 1) {}
+          own_rows(new Rows(n)),
+          adj(own_rows->adj), locf_e(own_rows->locf_e),
+          locr_e(own_rows->locr_e), locf_d(own_rows->locf_d),
+          locr_d(own_rows->locr_d) {}
+
+    Graph(int64_t n, const int64_t *lens, int64_t del, Rows *shared)
+        : n_reads(n), lengths(lens), dead_end_length(del),
+          adj(shared->adj), locf_e(shared->locf_e), locr_e(shared->locr_e),
+          locf_d(shared->locf_d), locr_d(shared->locr_d) {}
 
     Edge *new_edge(int64_t s, int64_t d, int32_t o, int64_t off) {
         // (ids are int32 internally; the ABI stays int64)
@@ -360,6 +383,12 @@ struct Graph {
             }
         }
         lst.resize(jj);
+        // drop the pre-reduction capacity: rows peak at the raw overlap
+        // degree (~coverage) but keep only the irreducible edges, so the
+        // capacity overhang across all rows is ~coverage x the final
+        // adjacency bytes
+        if (lst.capacity() > lst.size() * 2 + 4)
+            lst.shrink_to_fit();
         if (lst.empty()) n_nodes--;
     }
 };
@@ -676,12 +705,15 @@ Result *construct_threaded(int64_t n_reads, const int64_t *lengths,
         bucket_nodes[bucket_of[find((int32_t)i)]].push_back(i);
     PROF("components", t0); t0 = now_s();
 
-    // --- per-bucket construction (disjoint graph rows; no locking) --------
+    // --- per-bucket construction: ONE shared row store (buckets partition
+    // the read ids, so threads write disjoint rows), per-thread edge pools
     std::vector<Graph *> graphs(nt, nullptr);
     {
         std::vector<std::thread> workers;
-        for (int t = 0; t < nt; t++) {
-            graphs[t] = new Graph(n_reads, lengths, dead_end_length);
+        graphs[0] = new Graph(n_reads, lengths, dead_end_length);
+        for (int t = 1; t < nt; t++) {
+            graphs[t] = new Graph(n_reads, lengths, dead_end_length,
+                                  graphs[0]->own_rows.get());
             graphs[t]->serial = (int64_t)t << 40;
         }
         auto work = [&](int t) {
@@ -698,17 +730,10 @@ Result *construct_threaded(int64_t n_reads, const int64_t *lengths,
             for (auto &th : workers) th.join();
         }
     }
-    // merge rows of buckets 1..nt-1 into bucket 0's graph
+    // fold per-thread counters into bucket 0's graph (rows already shared)
     Graph *g0 = graphs[0];
     for (int t = 1; t < nt; t++) {
         Graph *gt = graphs[t];
-        for (int64_t i : bucket_nodes[t]) {
-            g0->adj[i] = std::move(gt->adj[i]);
-            g0->locf_e[i] = std::move(gt->locf_e[i]);
-            g0->locf_d[i] = std::move(gt->locf_d[i]);
-            g0->locr_e[i] = std::move(gt->locr_e[i]);
-            g0->locr_d[i] = std::move(gt->locr_d[i]);
-        }
         g0->n_nodes += gt->n_nodes;
         g0->n_edges += gt->n_edges;
         if (gt->serial > g0->serial) g0->serial = gt->serial;
@@ -859,7 +884,7 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
     coffset.reserve(total);
     {
         int64_t cur = 1;
-        for (const auto &sc : scratch) {
+        for (auto &sc : scratch) {
             for (const EdgeCand &c : sc.cands) {
                 if (supers[c.r1] != 0 || supers[c.r2] != 0) continue;
                 while (cur <= c.r1) cstart[cur++] = (int64_t)cdest.size();
@@ -867,6 +892,10 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
                 corient.push_back(c.eo);
                 coffset.push_back(c.eoff);
             }
+            // consumed — release before construction so the raw candidate
+            // buffers don't sit under the graph's peak
+            std::vector<EdgeCand>().swap(sc.cands);
+            std::vector<ContHit>().swap(sc.cont);
         }
         while (cur <= n_reads + 1) cstart[cur++] = (int64_t)cdest.size();
     }

@@ -40,10 +40,12 @@ import jax.numpy as jnp
 
 from .overlap import CandidateBatch
 
-_B1 = jnp.uint32(0x01000193)     # FNV prime
-_B2 = jnp.uint32(0x9E3779B1)     # golden-ratio odd constant
-_M1 = jnp.uint32(0x85EBCA6B)
-_M2 = jnp.uint32(0xC2B2AE35)
+# numpy scalars on purpose: module-level jnp constants would initialize the
+# XLA backend at import time (breaks jax.distributed.initialize ordering)
+_B1 = np.uint32(0x01000193)     # FNV prime
+_B2 = np.uint32(0x9E3779B1)     # golden-ratio odd constant
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
 
 PAD_HASH = np.uint32(0xFFFFFFFF)
 

@@ -114,12 +114,19 @@ def reverse_complement_codes_np(codes: np.ndarray,
     """Host (numpy) twin of reverse_complement_codes — identical semantics,
     no XLA compile cost.  Used on the ingest path; tests assert equality
     with the device kernel."""
-    lmax = codes.shape[1]
+    n, lmax = codes.shape
+    out = np.empty((n, lmax), dtype=np.uint8)
     k = np.arange(lmax)[None, :]
-    src = np.clip(lengths[:, None] - 1 - k, 0, lmax - 1)
-    gathered = np.take_along_axis(codes, src, axis=1)
-    return np.where(k < lengths[:, None], 3 - gathered,
-                    PAD_CODE).astype(np.uint8)
+    # row-chunked: the [rows, lmax] int64 index matrix would be 8x the
+    # code bytes if built for the whole dataset at once
+    step = 1 << 16
+    for s in range(0, max(n, 1), step):
+        e = min(s + step, n)
+        ln = lengths[s:e, None]
+        src = np.clip(ln - 1 - k, 0, lmax - 1)
+        gathered = np.take_along_axis(codes[s:e], src, axis=1)
+        out[s:e] = np.where(k < ln, 3 - gathered, PAD_CODE)
+    return out
 
 
 def _lex_less_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -168,12 +175,10 @@ def pack_sort_limbs(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     lexicographic read sort (Dataset.cpp:197-202) exactly.
     """
     n, lmax = codes.shape
-    vals = np.where(
-        np.arange(lmax)[None, :] < lengths[:, None], codes.astype(np.uint64) + 1, 0
-    )
     nlimb = (lmax + 7) // 8
-    padded = np.zeros((n, nlimb * 8), dtype=np.uint64)
-    padded[:, :lmax] = vals
-    limbs = padded.reshape(n, nlimb, 8)
-    shifts = np.uint64(8) * np.arange(7, -1, -1, dtype=np.uint64)
-    return (limbs << shifts[None, None, :]).sum(axis=2, dtype=np.uint64)
+    # byte-wise pack: a big-endian 8-byte view IS the shifted sum, without
+    # the [n, lmax] uint64 transients (8x the bytes) the naive pack makes
+    out8 = np.zeros((n, nlimb * 8), dtype=np.uint8)
+    np.add(codes, 1, out=out8[:, :lmax], where=(
+        np.arange(lmax)[None, :] < lengths[:, None]), casting="unsafe")
+    return out8.view(">u8").astype(np.uint64)

@@ -33,7 +33,9 @@ def shard_map(f, mesh, in_specs, out_specs):
     return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
 
-PAD_KEY = jnp.uint32(0xFFFFFFFF)
+# numpy scalar on purpose: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize ordering
+PAD_KEY = np.uint32(0xFFFFFFFF)
 
 
 def _rc_local(codes, lengths):
