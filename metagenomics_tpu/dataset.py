@@ -54,12 +54,16 @@ class _LazyLists:
         self.d = {}
 
     def __getitem__(self, i):
+        if i < 0 or i >= self.n:
+            raise IndexError(i)
         lst = self.d.get(i)
         if lst is None:
             lst = self.d[i] = []
         return lst
 
     def __setitem__(self, i, v):
+        if i < 0 or i >= self.n:
+            raise IndexError(i)
         self.d[i] = v
 
     def __len__(self):

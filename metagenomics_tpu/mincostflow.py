@@ -13,10 +13,12 @@ is computed by successive shortest augmenting paths with Johnson potentials
 is an exact optimum.
 
 The contracted assembly graphs this runs on are usually tiny (tens to a few
-thousand nodes); for larger instances solve_min_cost_flow dispatches to the
-native C++ twin (native.solve_min_cost_flow_native / mg_mincostflow), which
-replicates this module's tie-breaking exactly and therefore returns the
-identical flow vector (tests/test_flow_native.py).
+thousand nodes).  Whenever the native C++ twin is available
+(native.solve_min_cost_flow_native / mg_mincostflow), solve_min_cost_flow
+dispatches to it unconditionally — it replicates this module's tie-breaking
+exactly and therefore returns the identical flow vector
+(tests/test_flow_native.py); this Python implementation is the reference
+semantics and the fallback when the shared library cannot be built.
 """
 
 import heapq

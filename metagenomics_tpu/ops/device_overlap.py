@@ -299,18 +299,23 @@ def _expand_verify(packed2, lengths, left, counts, sorted_rid, sorted_orient,
          static_argnames=("hash_len", "nq", "cap", "npos", "w", "wp",
                           "check_cont", "off_bits"))
 def _emit_kernel(packed2, lengths, left_pad, counts_pad, sorted_rid,
-                 sorted_orient, q0, hash_len, nq, cap, npos, w, wp,
+                 sorted_orient, q0, nq_real, hash_len, nq, cap, npos, w, wp,
                  check_cont, off_bits):
-    """Expand + verify + compact one query window [q0, q0+nq).
+    """Expand + verify + compact one query window [q0, q0+nq_real).
 
     packed2 = [2*(n+1), wp] uint32: forward rows then reverse rows, each
     2-bit packed with wp >= 2w+1 columns (shift spill padding).  Emits the
     survivor stream for the window compacted to the front of cap-sized
     buffers plus per-read survivor counts and the kept total.
+
+    nq is the static tier size of the slice; nq_real (dynamic scalar) is the
+    chunk's true query count — counts beyond it are zeroed so the
+    tier-rounded window never double-emits the next chunk's rows.
     """
     nrows = packed2.shape[0] // 2
     left = jax.lax.dynamic_slice(left_pad, (q0,), (nq,))
     counts = jax.lax.dynamic_slice(counts_pad, (q0,), (nq,))
+    counts = jnp.where(jnp.arange(nq, dtype=jnp.int32) < nq_real, counts, 0)
     keep, r1, r2, _, fe, eoff = _expand_verify(
         packed2, lengths, left, counts, sorted_rid, sorted_orient,
         q0 // npos, hash_len, cap, npos, w, wp, check_cont)
@@ -467,9 +472,12 @@ class DeviceOverlapPipeline:
         kc_total = None
         for i in range(len(bounds) - 1):
             q0 = bounds[i] * npos
+            nq_real = (bounds[i + 1] - bounds[i]) * npos
+            assert int(row_tot[bounds[i]:bounds[i + 1]].sum()) <= cap
             out, kc, n_keep = _emit_kernel(
                 self.packed2, self.lengths, left_pad, counts_pad,
-                self.sorted_rid, self.sorted_orient, q0, self.hash_len,
+                self.sorted_rid, self.sorted_orient, q0,
+                np.int32(nq_real), self.hash_len,
                 nq_tier, cap, npos, self.w, self.wp, check_cont,
                 self.off_bits)
             outs.append((out, n_keep))

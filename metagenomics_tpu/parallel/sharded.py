@@ -223,6 +223,13 @@ class ShardedOverlapPipeline:
         self.n1 = n1
         n_pad = -n1 % self.dp
         self.n1_pad = n1 + n_pad
+        # global query ids q = row*npos + j are int32 with sentinel
+        # 0x7FFFFFFF; overflow would silently corrupt the merge order
+        if self.n1_pad * self.npos >= 0x7FFFFFFF:
+            raise ValueError(
+                "global query id space exceeds int32 (%d reads x %d "
+                "positions); shard the dataset first" %
+                (self.n1_pad, self.npos))
         self.hf_pad = jnp.pad(hf, ((0, n_pad), (0, 0)))
         self.len_pad = jnp.pad(lengths32, (0, n_pad))
 

@@ -158,3 +158,30 @@ def test_pallas_window_hashes_match_jnp_scan():
         a = np.asarray(window_hashes_u32(codes, l))
         b = np.asarray(window_hashes_pallas(codes, l, interpret=True))
         np.testing.assert_array_equal(a, b)
+
+
+def test_multichunk_stream_matches_single_chunk():
+    """When the candidate total exceeds the chunk capacity, the streamed
+    multi-chunk output must equal the single-chunk stream exactly (the
+    tier-rounded emit window must not double-count the next chunk's rows)."""
+    import os
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.ops.device_overlap import DeviceOverlapPipeline
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds = Dataset([], [os.path.join(repo, "golden", "data", "se_hard.fasta")],
+                 40, log=lambda *a, **k: None)
+    pipe = DeviceOverlapPipeline(ds, 40)
+    c0, r0, m0 = pipe.stream(check_cont=True)
+
+    old_cap = DeviceOverlapPipeline.MAX_CAP
+    try:
+        DeviceOverlapPipeline.MAX_CAP = 1 << 16   # force many chunks
+        pipe2 = DeviceOverlapPipeline(ds, 40)
+        c1, r1, m1 = pipe2.stream(check_cont=True)
+    finally:
+        DeviceOverlapPipeline.MAX_CAP = old_cap
+
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_array_equal(m0, m1)
