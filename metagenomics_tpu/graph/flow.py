@@ -7,10 +7,55 @@ bounds/costs come from calculateBoundAndCost (:1614-1638), a super
 source/sink pair ties every node in, and a single expensive return arc
 forces minimal circulation.  The solve itself runs in-process
 (mincostflow.solve_min_cost_flow) instead of through CS2's file round-trip;
-the flow.output artifact is still written (one "src dst flow" line per arc).
+the flow.output artifact is still written, byte-identical to CS2's
+print_solution (cs2.h:1861-1882): forward arcs in the parser's
+grouped-by-tail slot order (see _cs2_print_order).
 """
 
 from ..mincostflow import solve_min_cost_flow
+
+
+def _cs2_print_order(arcs, n_nodes):
+    """Original-arc print order of CS2's solution file.
+
+    CS2's DIMACS parser stores each input arc as a (forward, sister) slot
+    pair and then groups slots by tail node with an in-place counting sort
+    whose within-bucket order comes from its cycle-chasing swaps
+    (parser_cs2.h:347-425).  print_solution (cs2.h:1861-1882) walks nodes in
+    id order emitting every slot whose stored capacity is positive — i.e.
+    exactly the forward arcs, in the permuted slot order.  This simulates
+    that permutation on the tails alone (the swaps move whole arc records,
+    so tracking the original slot id is enough) and returns the original
+    arc indices in print order.
+    """
+    m2 = 2 * len(arcs)
+    tails = [0] * m2
+    orig = list(range(m2))
+    counts = [0] * (n_nodes + 2)
+    for k, (tail, head, _, _, _) in enumerate(arcs):
+        tails[2 * k] = tail
+        tails[2 * k + 1] = head          # sister slot: head acts as tail
+        counts[tail + 1] += 1
+        counts[head + 1] += 1
+    node_min = min(tails)
+    node_max = max(tails)
+    # arc_first[i] = next free slot of node i's bucket; node_first[i] = the
+    # immutable bucket start (the parser's node->first pointers)
+    arc_first = counts[:]
+    for i in range(node_min + 1, node_max + 2):
+        arc_first[i] += arc_first[i - 1]
+    node_first = arc_first[:]
+    for i in range(node_min, node_max):
+        last = node_first[i + 1]
+        for pos in range(arc_first[i], last):
+            tail = tails[pos]
+            while tail != i:
+                new = arc_first[tail]
+                tails[pos], tails[new] = tails[new], tails[pos]
+                orig[pos], orig[new] = orig[new], orig[pos]
+                arc_first[tail] += 1
+                tail = tails[pos]
+    return [s // 2 for s in orig if s % 2 == 0]
 
 
 class FlowMixin:
@@ -88,8 +133,9 @@ class FlowMixin:
         self.log("Min-cost-flow solver finished")
 
         with open(output_path, "w") as f:
-            for (tail, head, _, _, _), fl in zip(arcs, flows):
-                f.write("%d %d %d\n" % (tail, head, fl))
+            for k in _cs2_print_order(arcs, v):
+                tail, head = arcs[k][0], arcs[k][1]
+                f.write("%d %d %d\n" % (tail, head, flows[k]))
 
         for (tail, head, _, _, _), fl in zip(arcs, flows):
             if (tail != supersink and tail != supersource

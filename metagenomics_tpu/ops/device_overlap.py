@@ -1,32 +1,39 @@
-"""Fully device-resident overlap detection: hash -> join -> verify -> compact.
+"""Fully device-resident overlap detection: hash -> sort-join -> verify.
 
 This is the hot path of the assembler (the reference's insertDataset +
 insertAllEdgesOfRead probe loops, HashTable.cpp:50-104 and
-OverlapGraph.cpp:529-565) re-designed TPU-first:
+OverlapGraph.cpp:529-565) re-designed TPU-first.  TPUs run sorts and scans
+at memory bandwidth but pay ~10ns per random gather/scatter element, so the
+round-3 engine is built around ONE relational sort-merge join instead of
+per-probe binary searches:
 
-* reads are uploaded ONCE as 2-bit packed uint32 words (16 bases/word,
-  ~1/8 the bytes of the code arrays); the reverse complement and the uint8
-  code views are derived on device,
-* window keys come from a rolling polynomial hash (Pallas tile kernel on
-  TPU, lax.scan elsewhere; bit-identical, tests/test_ops.py),
-* the 4-entries-per-read index is sorted on device (stable, so buckets keep
-  the reference's (read id, orient) order),
-* a branchless vectorized binary search counts the hits of every
-  (read, position) probe; ONE scalar comes back to the host to size the
-  emission buffer (no capacity-doubling retries),
-* candidate expansion is a scatter + cummax (no per-slot binary search),
-* overlap AND containment verification compare 2-bit packed words — two
-  row gathers and a shifted XOR per candidate instead of per-base gathers,
-* survivors are compacted (stable, so the stream stays in the reference's
-  discovery order: read asc, position asc, bucket order) and downloaded as
-  a packed (r2:int32, meta:uint16) stream plus per-read counts — the exact
-  input of the threaded native replay (native/mg_native.cpp mg_build_stream).
+* reads are uploaded ONCE as raw uint8 base codes; packing (2-bit words),
+  reverse complements and window hashes (Pallas tile kernel on TPU) are all
+  derived on device in a single jitted setup program,
+* the l-mer index is 4 keys/read -- prefix/suffix of forward/reverse
+  strand (HashTable.cpp:88-104) -- stable-sorted so each hash bucket keeps
+  the reference's (read id, orient) insertion order,
+* the probe is a SORT-MERGE JOIN: all (read, position) query hashes and all
+  index keys go through one stable sort (queries first among equal keys);
+  prefix-sum scans then yield every query's bucket start (lower bound) and
+  bucket size with zero per-query searches,
+* hit queries are compacted to the front (second stable sort by query id),
+  so the expansion buffers scale with hits, not with all n*npos probes,
+* candidate expansion is one scatter + cummax; per-candidate state comes
+  from three bulk gathers (bucket geometry, query id, packed index entry),
+* overlap AND containment verification compare 2-bit packed words fetched
+  with two row gathers; the in-row word extraction is a branchless select
+  chain (no gather),
+* survivors are compacted AND put in the reference's discovery order
+  (read asc, position asc, bucket order) by one stable sort, then
+  downloaded as a packed stream plus per-read counts -- the exact input of
+  the threaded native replay (native/mg_native.cpp mg_build_stream).
 
 Hash collisions are harmless: verification compares the full window
 including the seed, so the accepted candidate set is exactly the
 reference's.  Work is tiled into row chunks whose candidate totals fit a
-fixed-capacity buffer, so each (queries, cap) tier compiles once and
-chunk downloads overlap the next chunk's compute via async dispatch.
+fixed-capacity buffer, so each (queries, cap) tier compiles once and chunk
+downloads overlap the next chunk's compute via async dispatch.
 
 meta layout (uint16): bits 0-1 edge orientation, bit 2 edge_ok,
 bit 3 cont_ok, bits 4-15 overlap offset (lengths < 4096 enforced).
@@ -155,59 +162,84 @@ def _pack_codes_device(codes, w):
     c = jnp.pad(codes.astype(jnp.uint32) & 3, ((0, 0), (0, 16 * w - lmax)))
     lanes = c.reshape(n, w, 16)
     sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
-    return (lanes << sh).sum(axis=2, dtype=jnp.uint32)
+    return (lanes << sh).sum(axis=2, dtype=np.uint32)
 
 
-# ------------------------------------------------------------------- kernels
+# ------------------------------------------------------------------- verify
 
-@partial(jax.jit, static_argnames=("tbits",))
-def _range_table(keys_p2, tbits):
-    """rtab[b] = lower_bound(keys, b << (32-tbits)) over the top tbits of the
-    sorted key array, plus the widest bucket span (controls bisection depth)."""
-    bkt = (keys_p2 >> jnp.uint32(32 - tbits)).astype(jnp.int32)
-    bounds = jnp.arange((1 << tbits) + 1, dtype=jnp.int32)
-    rtab = jnp.searchsorted(bkt, bounds, side="left").astype(jnp.int32)
-    return rtab, jnp.max(jnp.diff(rtab))
+def _extract_words(rows, s, w, qw_max):
+    """16-base words of each row starting at base offset s (w words).
+
+    rows is [C, >= qw_max+w+1] uint32; s the per-row base offset (0-based,
+    s >> 4 <= qw_max).  The word-offset selection is a branchless select
+    chain over the qw_max+1 possible word starts — a handful of vectorized
+    selects instead of a per-element gather (TPU gathers cost ~10ns/elem;
+    selects are free at the VPU's throughput)."""
+    qw = (s >> 4).astype(jnp.int32)
+    x = rows[:, 0:w + 1]
+    for v in range(1, qw_max + 1):
+        x = jnp.where((qw == v)[:, None], rows[:, v:v + w + 1], x)
+    sh = ((s & 15) << 1).astype(jnp.uint32)[:, None]
+    lo = x[:, :w]
+    hi = x[:, 1:]
+    spill = jnp.where(sh == 0, jnp.uint32(0),
+                      hi << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+    return (lo >> sh) | spill
 
 
-@partial(jax.jit, static_argnames=("hash_len", "rounds"))
-def _probe_counts(hf, lengths, keys_p2, run_len_p2, rtab, hash_len, rounds):
-    """Hit position + bucket size for every (read, j) probe.
+def _verify_pairs(packed2, len1, len2, r1, j, r2, orient, hash_len, w,
+                  qw_max, check_cont):
+    """Exact packed-word verification of candidate pairs.
 
-    keys_p2 is the sorted index hash array padded with PAD_HASH (run_len_p2
-    zero-padded).  rtab is a prefix range table over the top bits of the
-    hash: rtab[b] = first index whose key >= b << S, so each query's
-    lower_bound is confined to [rtab[b], rtab[b+1]) and needs only `rounds`
-    branchless bisection rounds (rounds >= ceil(log2(max span))) — a few
-    big-vector gathers instead of log2(index) of them.  Returns (left,
-    counts, row_totals); only row_totals ([n+1] int32) crosses to the host.
-    """
-    n1, npos = hf.shape
+    Inputs are per-candidate vectors; returns (edge_ok, cont_ok, eo, eoff).
+    Edge mode replicates checkOverlap (OverlapGraph.cpp:354-383, seed
+    included so hash collisions are rejected); containment mode replicates
+    checkOverlapForContainedRead (:302-340); orientation/offset derivation
+    follows OverlapGraph.cpp:550-557."""
     l = hash_len
-    q = hf.reshape(-1)
-    jj = jnp.arange(npos, dtype=jnp.int32)[None, :]
-    valid = (jj >= 1) & (jj < (lengths[:, None] - l))
-    tbits = (rtab.shape[0] - 1).bit_length() - 1
-    shift = jnp.uint32(32 - tbits)
-    b = (q >> shift).astype(jnp.int32)
-    pos = rtab[b]
-    hi = rtab[b + 1]
-    step = jnp.int32(1 << (rounds - 1))
-    for _ in range(rounds):                  # unrolled branchless bisection
-        cand = pos + step
-        v = keys_p2[jnp.minimum(cand, hi) - 1]
-        pos = jnp.where((cand <= hi) & (v < q), cand, pos)
-        step = step >> 1
-    safe = jnp.minimum(pos, keys_p2.shape[0] - 1)
-    hit = keys_p2[safe] == q
-    counts = jnp.where(valid.reshape(-1) & hit, run_len_p2[safe], 0)
-    return pos, counts, counts.reshape(n1, npos).sum(axis=1, dtype=jnp.int32)
+    nrows = packed2.shape[0] // 2
+    is_pre = (orient == 0) | (orient == 2)
+    rows1 = packed2[r1]
+    rows2 = packed2[jnp.where(orient <= 1, r2, r2 + nrows)]
+    wk16 = 16 * jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    def windows_equal(s1, s2, m):
+        x = (_extract_words(rows1, s1, w, qw_max)
+             ^ _extract_words(rows2, s2, w, qw_max))
+        nb = jnp.clip(m[:, None] - wk16, 0, 16)
+        mask = jnp.where(
+            nb >= 16, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (2 * nb).astype(jnp.uint32)) - jnp.uint32(1))
+        return ((x & mask) == 0).all(axis=1)
+
+    # edge mode (checkOverlap; seed included)
+    ok_e = jnp.where(is_pre, len1 - j < len2, len2 - l >= j)
+    s1_e = jnp.where(is_pre, j, 0)
+    s2_e = jnp.clip(jnp.where(is_pre, 0, len2 - l - j), 0, None)
+    m_e = jnp.where(ok_e, jnp.where(is_pre, len1 - j, j + l), 0)
+    edge_ok = ok_e & windows_equal(s1_e, s2_e, m_e)
+
+    if check_cont:
+        # containment mode (checkOverlapForContainedRead)
+        m2 = len2 - l
+        ok_c = jnp.where(is_pre, len1 - j - l >= m2, j >= m2) & (len1 > len2)
+        s1_c = jnp.clip(jnp.where(is_pre, j, j - m2), 0, None)
+        m_c = jnp.where(ok_c, len2, 0)
+        cont_ok = ok_c & windows_equal(s1_c, jnp.zeros_like(s1_c), m_c)
+    else:
+        cont_ok = jnp.zeros_like(edge_ok)
+
+    eo = jnp.where(orient == 0, 3,
+         jnp.where(orient == 1, 0,
+         jnp.where(orient == 2, 2, 1)))
+    eoff = jnp.where(is_pre, j, len1 - l - j)
+    return edge_ok, cont_ok, eo, eoff
 
 
 def _expand_verify(packed2, lengths, left, counts, sorted_rid, sorted_orient,
                    row0, hash_len, cap, npos, w, wp, check_cont):
-    """Shared expand + verify core (traced inside _emit_kernel and the
-    sharded mesh kernel, parallel/sharded.py).
+    """Shared expand + verify core (traced inside the sharded mesh kernel,
+    parallel/sharded.py).
 
     left/counts are the probe results for a flat local query block whose
     first query is position 0 of global read row `row0`; sorted_rid/orient
@@ -215,9 +247,7 @@ def _expand_verify(packed2, lengths, left, counts, sorted_rid, sorted_orient,
     Returns per-slot (keep, r1, r2, qidx, fe, eoff) with qidx the LOCAL
     query index of each candidate.
     """
-    l = hash_len
     nq = left.shape[0]
-    nrows = packed2.shape[0] // 2
 
     # ---- expansion: scatter each probe's first slot, fill with cummax ----
     cum = jnp.cumsum(counts, dtype=jnp.int32)
@@ -238,104 +268,199 @@ def _expand_verify(packed2, lengths, left, counts, sorted_rid, sorted_orient,
 
     len1 = lengths[r1]
     len2 = lengths[r2]
-    is_pre = (orient == 0) | (orient == 2)
-
-    # ---- packed-word window comparison ----------------------------------
-    rows1 = packed2[r1]                                        # [cap, wp]
-    rows2 = packed2[jnp.where(orient <= 1, r2, r2 + nrows)]
-
-    def extract(rows, s):
-        """16-base words of the row starting at base offset s (w words)."""
-        qw = (s >> 4).astype(jnp.int32)
-        idx = jnp.clip(qw[:, None] + jnp.arange(w + 1, dtype=jnp.int32),
-                       0, wp - 1)
-        x = jnp.take_along_axis(rows, idx, axis=1)             # [cap, w+1]
-        sh = ((s & 15) << 1).astype(jnp.uint32)[:, None]
-        lo = x[:, :w]
-        hi = x[:, 1:]
-        spill = jnp.where(sh == 0, jnp.uint32(0),
-                          hi << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
-        return (lo >> sh) | spill
-
-    wk16 = 16 * jnp.arange(w, dtype=jnp.int32)[None, :]
-
-    def windows_equal(s1, s2, m):
-        x = extract(rows1, s1) ^ extract(rows2, s2)
-        nb = jnp.clip(m[:, None] - wk16, 0, 16)
-        mask = jnp.where(
-            nb >= 16, jnp.uint32(0xFFFFFFFF),
-            (jnp.uint32(1) << (2 * nb).astype(jnp.uint32)) - jnp.uint32(1))
-        return ((x & mask) == 0).all(axis=1)
-
-    # edge mode (checkOverlap, OverlapGraph.cpp:354-383; seed included)
-    ok_e = jnp.where(is_pre, len1 - j < len2, len2 - l >= j)
-    s1_e = jnp.where(is_pre, j, 0)
-    s2_e = jnp.clip(jnp.where(is_pre, 0, len2 - l - j), 0, None)
-    m_e = jnp.where(ok_e, jnp.where(is_pre, len1 - j, j + l), 0)
-    edge_ok = ok_e & windows_equal(s1_e, s2_e, m_e)
-
-    if check_cont:
-        # containment mode (checkOverlapForContainedRead, :302-340)
-        m2 = len2 - l
-        ok_c = jnp.where(is_pre, len1 - j - l >= m2, j >= m2) & (len1 > len2)
-        s1_c = jnp.clip(jnp.where(is_pre, j, j - m2), 0, None)
-        m_c = jnp.where(ok_c, len2, 0)
-        cont_ok = ok_c & windows_equal(s1_c, jnp.zeros_like(s1_c), m_c)
-    else:
-        cont_ok = jnp.zeros_like(edge_ok)
-
-    # edge orientation/offset derivation (OverlapGraph.cpp:550-557)
-    eo = jnp.where(orient == 0, 3,
-         jnp.where(orient == 1, 0,
-         jnp.where(orient == 2, 2, 1)))
-    eoff = jnp.where(is_pre, j, len1 - l - j)
+    edge_ok, cont_ok, eo, eoff = _verify_pairs(
+        packed2, len1, len2, r1, j, r2, orient, hash_len, w, wp - w - 1,
+        check_cont)
     fe = (eo | (edge_ok.astype(jnp.int32) << 2)
           | (cont_ok.astype(jnp.int32) << 3))
     keep = in_range & (edge_ok | cont_ok)
     return keep, r1, r2, qidx, fe, eoff
 
 
-@partial(jax.jit,
-         static_argnames=("hash_len", "nq", "cap", "npos", "w", "wp",
-                          "check_cont", "off_bits"))
-def _emit_kernel(packed2, lengths, left_pad, counts_pad, sorted_rid,
-                 sorted_orient, q0, nq_real, hash_len, nq, cap, npos, w, wp,
-                 check_cont, off_bits):
-    """Expand + verify + compact one query window [q0, q0+nq_real).
+# ----------------------------------------------------------------- pipeline
 
-    packed2 = [2*(n+1), wp] uint32: forward rows then reverse rows, each
-    2-bit packed with wp >= 2w+1 columns (shift spill padding).  Emits the
-    survivor stream for the window compacted to the front of cap-sized
-    buffers plus per-read survivor counts and the kept total.
-
-    nq is the static tier size of the slice; nq_real (dynamic scalar) is the
-    chunk's true query count — counts beyond it are zeroed so the
-    tier-rounded window never double-emits the next chunk's rows.
+@partial(jax.jit, static_argnames=("hash_len", "w", "wp", "lmax",
+                                   "use_pallas"))
+def _setup_kernel(codes_u8, lengths, hash_len, w, wp, lmax, use_pallas):
+    """Derive everything from the raw uint8 code matrix in ONE program:
+    2-bit packed rows (fwd then rev, spill-padded to wp), forward window
+    hashes, and the stable-sorted 4-key index with (rid<<2|orient) packed
+    entry words (HashTable.cpp:88-104 key set, bucket (rid, orient) order).
     """
-    nrows = packed2.shape[0] // 2
-    left = jax.lax.dynamic_slice(left_pad, (q0,), (nq,))
-    counts = jax.lax.dynamic_slice(counts_pad, (q0,), (nq,))
-    counts = jnp.where(jnp.arange(nq, dtype=jnp.int32) < nq_real, counts, 0)
-    keep, r1, r2, _, fe, eoff = _expand_verify(
-        packed2, lengths, left, counts, sorted_rid, sorted_orient,
-        q0 // npos, hash_len, cap, npos, w, wp, check_cont)
+    codes_fwd = (codes_u8 & 3).astype(jnp.uint8)
+    codes_rev = _rc_codes(codes_fwd, lengths)
+    pf = _pack_codes_device(codes_fwd, w)
+    pr = _pack_codes_device(codes_rev, w)
+    pad = ((0, 0), (0, wp - w))
+    packed2 = jnp.concatenate([jnp.pad(pf, pad), jnp.pad(pr, pad)], axis=0)
 
-    # ---- stable compaction + per-read survivor counts --------------------
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dst = jnp.where(keep, pos, cap)
-    n_keep = jnp.where(keep.any(), pos[-1] + 1, 0)
-    keep_counts = jnp.zeros((nrows,), jnp.int32).at[
-        jnp.clip(r1, 0, nrows - 1)].add(keep.astype(jnp.int32), mode="drop")
+    if use_pallas:
+        from .pallas_hash import window_hashes_pallas
+        hf = window_hashes_pallas(codes_fwd, hash_len)
+        hr = window_hashes_pallas(codes_rev, hash_len)
+    else:
+        hf = window_hashes_u32(codes_fwd, hash_len)
+        hr = window_hashes_u32(codes_rev, hash_len)
+
+    n = hf.shape[0] - 1                      # row 0 is the unused dummy
+    suf = (lengths[1:] - hash_len).astype(jnp.int32)
+    k0 = hf[1:, 0]
+    k1 = jnp.take_along_axis(hf[1:], suf[:, None], axis=1)[:, 0]
+    k2 = hr[1:, 0]
+    k3 = jnp.take_along_axis(hr[1:], suf[:, None], axis=1)[:, 0]
+    keys = jnp.stack([k0, k1, k2, k3], axis=1).reshape(-1)
+    rid = jnp.repeat(jnp.arange(1, n + 1, dtype=jnp.uint32), 4)
+    orient = jnp.tile(jnp.arange(4, dtype=jnp.uint32), n)
+    sk, sid = jax.lax.sort((keys, (rid << 2) | orient), num_keys=1,
+                           is_stable=True)
+    return packed2, hf, sk, sid
+
+
+@partial(jax.jit, static_argnames=("hash_len", "sum_block"))
+def _probe_join(hf, lengths, sk, hash_len, sum_block):
+    """Sort-merge join of every (read, position) query hash against the
+    sorted index keys — the TPU-native replacement for the reference's
+    per-window hash-table probes (HashTable.cpp:202-221).
+
+    One stable sort puts queries before the index entries that share their
+    key, so prefix-sum scans give each query its bucket's lower bound and
+    size; a second stable sort compacts hit queries to the front in query
+    id (read, position) order.  Returns (rk, rleft, rcnt) — hit query ids
+    with bucket geometry, sentinel-padded — plus the hit total and blocked
+    partial candidate sums (summed exactly on the host in int64).
+    """
+    n1, npos = hf.shape
+    q_total = n1 * npos
+    m = sk.shape[0]
+    l = hash_len
+    q = hf.reshape(-1)
+    jj = jnp.arange(npos, dtype=jnp.int32)[None, :]
+    valid = ((jj >= 1) & (jj < (lengths[:, None] - l))).reshape(-1)
+
+    # payload: bit31 = index entry, bit30 = invalid query, low bits = id
+    qid = jnp.arange(q_total, dtype=jnp.uint32)
+    pq = qid | jnp.where(valid, jnp.uint32(0), jnp.uint32(0x40000000))
+    pi = jnp.uint32(0x80000000) | jnp.arange(m, dtype=jnp.uint32)
+    kv, pv = jax.lax.sort(
+        (jnp.concatenate([q, sk]), jnp.concatenate([pq, pi])),
+        num_keys=1, is_stable=True)
+
+    tag = (pv >> 31).astype(jnp.int32)
+    u = jnp.cumsum(tag, dtype=jnp.int32)
+    # at a query position u counts index entries with key < q (equal-key
+    # entries sort after queries by stability) => u = lower_bound
+    left = u
+    is_last = jnp.concatenate(
+        [kv[1:] != kv[:-1], jnp.ones((1,), bool)])
+    ub = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(is_last, u, jnp.int32(0x7FFFFFFF)))))
+    cnt = ub - left                          # bucket size at query positions
+
+    is_query = tag == 0
+    hit = is_query & (cnt > 0) & ((pv & jnp.uint32(0x40000000)) == 0)
+    rkey = jnp.where(hit, pv & jnp.uint32(0x3FFFFFFF),
+                     jnp.uint32(0xFFFFFFFF))
+    rk, rleft, rcnt = jax.lax.sort((rkey, left, cnt), num_keys=1,
+                                   is_stable=True)
+    h_total = hit.sum(dtype=jnp.int32)
+
+    # exact grand total without int32 overflow: blocked partial sums,
+    # finished on the host in int64 (block size chosen so each partial
+    # sum stays < 2^31 even when every query hits the largest bucket)
+    cq = jnp.where(hit, cnt, 0)
+    v = cq.shape[0]
+    vp = -v % sum_block
+    parts = jnp.pad(cq, (0, vp)).reshape(-1, sum_block).sum(
+        axis=1, dtype=jnp.int32)
+    return rk, rleft, rcnt, h_total, parts
+
+
+@partial(jax.jit, static_argnames=("n1", "npos"))
+def _row_stats(rk, rcnt, h_total, n1, npos):
+    """Per-read candidate totals and hit-query counts (multi-chunk planning
+    only — the single-chunk fast path never pays these scatter-adds)."""
+    v = rk.shape[0]
+    isq = jnp.arange(v, dtype=jnp.int32) < h_total
+    row = jnp.where(isq, (rk // jnp.uint32(npos)).astype(jnp.int32), n1)
+    row_tot = jnp.zeros((n1,), jnp.int32).at[row].add(
+        jnp.where(isq, rcnt, 0), mode="drop")
+    row_hits = jnp.zeros((n1,), jnp.int32).at[row].add(
+        jnp.where(isq, 1, 0), mode="drop")
+    return row_tot, row_hits
+
+
+@partial(jax.jit, static_argnames=(
+    "hash_len", "nqt", "cap", "npos", "w", "qw_max", "check_cont",
+    "off_bits", "uniform_len"))
+def _emit2(packed2, lengths, rk_pad, rleft_pad, rcnt_pad, sid, h0, nh_real,
+           hash_len, nqt, cap, npos, w, qw_max, check_cont, off_bits,
+           uniform_len):
+    """Expand + verify + order one chunk of hit queries [h0, h0+nh_real).
+
+    nqt is the static tier size of the slice; nh_real (dynamic scalar) is
+    the chunk's true hit count — counts beyond it are zeroed so the
+    tier-rounded window never double-emits the next chunk's rows.  The
+    survivor buffer comes back compacted to the front AND in the
+    reference's discovery order (query id asc, bucket order) from one
+    stable sort.
+    """
+    n1 = lengths.shape[0]
+    qid_s = jax.lax.dynamic_slice(rk_pad, (h0,), (nqt,))
+    left_s = jax.lax.dynamic_slice(rleft_pad, (h0,), (nqt,))
+    cnt_s = jax.lax.dynamic_slice(rcnt_pad, (h0,), (nqt,))
+    live = jnp.arange(nqt, dtype=jnp.int32) < nh_real
+    cnt_s = jnp.where(live, cnt_s, 0)
+
+    cum = jnp.cumsum(cnt_s, dtype=jnp.int32)
+    total = cum[-1]
+    starts = cum - cnt_s
+    hdest = jnp.where(cnt_s > 0, starts, cap)
+    seed = jnp.zeros((cap,), jnp.int32).at[hdest].max(
+        jnp.arange(nqt, dtype=jnp.int32), mode="drop")
+    hidx = jax.lax.cummax(seed)
+    k = jnp.arange(cap, dtype=jnp.int32)
+    in_range = k < total
+
+    dsh = left_s - starts                    # src = slot + (left - start)
+    src = k + dsh[hidx]
+    qid = (qid_s[hidx] & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32)
+    e = sid[jnp.clip(src, 0, sid.shape[0] - 1)]
+    r2 = (e >> 2).astype(jnp.int32)
+    orient = (e & 3).astype(jnp.int32)
+    r1 = qid // npos
+    j = qid - r1 * npos
+    r1c = jnp.clip(r1, 0, n1 - 1)
+
+    if uniform_len >= 0:
+        len1 = jnp.int32(uniform_len)
+        len2 = jnp.broadcast_to(jnp.int32(uniform_len), (cap,))
+    else:
+        len1 = lengths[r1c]
+        len2 = lengths[r2]
+
+    edge_ok, cont_ok, eo, eoff = _verify_pairs(
+        packed2, len1, len2, r1c, j, r2, orient, hash_len, w, qw_max,
+        check_cont)
+    keep = in_range & (edge_ok | cont_ok)
+    fe = (eo | (edge_ok.astype(jnp.int32) << 2)
+          | (cont_ok.astype(jnp.int32) << 3))
+    n_keep = keep.sum(dtype=jnp.int32)
+    keep_counts = jnp.zeros((n1,), jnp.int32).at[r1c].add(
+        keep.astype(jnp.int32), mode="drop")
+
+    # compaction + final order in one stable sort: survivors first, and the
+    # slot order (qid asc, bucket position asc) is preserved for equal keys
+    skey = 1 - keep.astype(jnp.uint32)
     if off_bits >= 0:
         # single uint32 word per survivor: [r2 | fe:4 | eoff:off_bits]
         word = ((r2.astype(jnp.uint32) << (4 + off_bits))
                 | (fe.astype(jnp.uint32) << off_bits)
                 | jnp.clip(eoff, 0, (1 << off_bits) - 1).astype(jnp.uint32))
-        out = jnp.zeros((cap,), jnp.uint32).at[dst].set(word, mode="drop")
+        _, out = jax.lax.sort((skey, word), num_keys=1, is_stable=True)
         return out, keep_counts, n_keep
     meta = (fe | (eoff << 4)).astype(jnp.uint16)
-    r2_out = jnp.zeros((cap,), jnp.int32).at[dst].set(r2, mode="drop")
-    meta_out = jnp.zeros((cap,), jnp.uint16).at[dst].set(meta, mode="drop")
+    _, r2_out, meta_out = jax.lax.sort((skey, r2, meta), num_keys=1,
+                                       is_stable=True)
     return (r2_out, meta_out), keep_counts, n_keep
 
 
@@ -369,62 +494,54 @@ class DeviceOverlapPipeline:
             raise ValueError("read length >= 4096 unsupported by meta packing")
         self.lmax = lmax
         self.w = (lmax + 15) // 16
-        self.wp = 2 * self.w + 1
+        # spill-padded row width: word extraction reads words
+        # [s>>4, s>>4 + w] with s <= lmax - hash_len
+        self.qw_max = (lmax - self.hash_len) >> 4
+        self.wp = self.qw_max + self.w + 1
+        n1 = ds.codes_fwd.shape[0]
+        self.npos = lmax - self.hash_len + 1
+        if n1 * self.npos >= 1 << 30:
+            raise ValueError(
+                "query id space exceeds 2^30 (%d reads x %d positions); "
+                "use the sharded pipeline" % (n1, self.npos))
         self.lengths = jnp.asarray(ds.lengths.astype(np.int32))
 
-        pf = jnp.asarray(pack_codes_host(ds.codes_fwd))   # the ONE upload
-        codes_fwd = _unpack_codes(pf, lmax)
-        codes_rev = _rc_codes(codes_fwd, self.lengths)
-        pr = _pack_codes_device(codes_rev, self.w)
-        pad = ((0, 0), (0, self.wp - self.w))
-        self.packed2 = jnp.concatenate(
-            [jnp.pad(pf, pad), jnp.pad(pr, pad)], axis=0)
+        import os
+        use_pallas = (jax.default_backend() == "tpu"
+                      and not os.environ.get("MGTPU_NO_PALLAS"))
+        codes_u8 = jnp.asarray(ds.codes_fwd)          # the ONE upload
+        try:
+            self.packed2, self.hf, self.sk, self.sid = _setup_kernel(
+                codes_u8, self.lengths, self.hash_len, self.w, self.wp,
+                lmax, use_pallas)
+        except Exception:
+            if not use_pallas:
+                raise
+            self.packed2, self.hf, self.sk, self.sid = _setup_kernel(
+                codes_u8, self.lengths, self.hash_len, self.w, self.wp,
+                lmax, False)
 
-        self.hf = self._window_hashes(codes_fwd)
-        hr = self._window_hashes(codes_rev)
-        sk, srid, sorient, run_len = _index_kernel(
-            self.hf, hr, self.lengths, self.hash_len)
-        m = sk.shape[0]
-        p2 = 1 << max(1, (m - 1).bit_length())
-        self.keys_p2 = jnp.concatenate(
-            [sk, jnp.full((p2 - m,), PAD_HASH, jnp.uint32)])
-        self.run_len_p2 = jnp.concatenate(
-            [run_len, jnp.zeros((p2 - m,), jnp.int32)])
-        self.sorted_rid = srid
-        self.sorted_orient = sorient
-
-        # prefix range table over the top tbits of the hash: rtab[b] =
-        # lower_bound(keys, b << (32-tbits)); confines every probe's binary
-        # search to one bucket span so the bisection needs only
-        # bit_length(max span) rounds instead of log2(p2).  Built on device
-        # (bucket ids of sorted keys are themselves sorted); only the scalar
-        # max span crosses to the host.
-        tbits = min(20, max(1, m.bit_length()))
-        self.rtab, max_span = _range_table(self.keys_p2, tbits)
-        self.rounds = max(1, int(max_span).bit_length())
+        # probe join; the blocked partial sums keep every device-side
+        # accumulator < 2^31 even for pathologically repetitive inputs
+        m = int(self.sk.shape[0])
+        sum_block = 1 << max(3, min(12, (1 << 31).bit_length()
+                                    - max(m, 1).bit_length() - 2))
+        self.rk, self.rleft, self.rcnt, h_total, parts = _probe_join(
+            self.hf, self.lengths, self.sk, self.hash_len, sum_block)
+        self.h_total = int(h_total)
+        self.grand = int(np.asarray(parts).sum(dtype=np.int64))
 
         # survivor packing: one uint32 word per survivor when
         # (r2 bits + 4 flag/orient bits + offset bits) fit, else the
         # (r2 int32, meta uint16) pair — 6 bytes.  The packed word layout is
         # [r2 | edge_ok/cont_ok/eo (4b) | eoff (off_bits)].
-        n = self.hf.shape[0] - 1
+        n = n1 - 1
         bits_r2 = max(1, n.bit_length())
         bits_off = max(1, (lmax - min_overlap + 1).bit_length())
         self.off_bits = bits_off if bits_r2 + 4 + bits_off <= 32 else -1
-
-    def _window_hashes(self, codes):
-        """Window-hash kernel selection: the Pallas tile kernel on TPU
-        (bit-identical, one HBM round-trip, ~15x faster compile than the
-        unrolled scan), the jnp scan elsewhere."""
-        import os
-        if (jax.default_backend() == "tpu"
-                and not os.environ.get("MGTPU_NO_PALLAS")):
-            try:
-                from .pallas_hash import window_hashes_pallas
-                return window_hashes_pallas(codes, self.hash_len)
-            except Exception:
-                pass
-        return window_hashes_u32(codes, self.hash_len)
+        lens = ds.lengths[1:]
+        self.uniform_len = (int(lens[0])
+                            if len(lens) and (lens == lens[0]).all() else -1)
 
     def stream(self, check_cont=True, download=True):
         """Survivor stream in reference discovery order (read asc, j asc,
@@ -434,35 +551,45 @@ class DeviceOverlapPipeline:
         verify + compact) but skips the bulk host transfers, forcing each
         chunk only through its n_keep scalar — the device-compute-only
         measurement mode (bench.py)."""
-        npos = self.hf.shape[1]
+        npos = self.npos
         n1 = self.hf.shape[0]
-        left, counts, row_totals = _probe_counts(
-            self.hf, self.lengths, self.keys_p2, self.run_len_p2,
-            self.rtab, self.hash_len, self.rounds)
-        row_tot = np.asarray(row_totals).astype(np.int64)
+        grand, h_total = self.grand, self.h_total
 
-        # row chunks whose candidate totals fit one fixed-cap buffer
-        grand = int(row_tot.sum())
-        cap = min(_tier(max(grand, 1)), self.MAX_CAP)
-        cap = max(cap, int(row_tot.max()) if n1 else 1)
-        bounds = [0]
-        acc = 0
-        for r in range(n1):
-            if acc + row_tot[r] > cap and bounds[-1] != r:
-                bounds.append(r)
-                acc = 0
-            acc += row_tot[r]
-        bounds.append(n1)
+        if grand <= self.MAX_CAP:
+            cap = _tier(max(grand, 1))
+            nqt = _tier(max(h_total, 1))
+            chunks = [(0, h_total)]           # (hit offset, hit count)
+        else:
+            row_tot, row_hits = _row_stats(self.rk, self.rcnt,
+                                           np.int32(h_total), n1, npos)
+            row_tot = np.asarray(row_tot).astype(np.int64)
+            row_hits = np.asarray(row_hits).astype(np.int64)
+            cap = min(_tier(max(grand, 1)), self.MAX_CAP)
+            cap = max(cap, int(row_tot.max()))
+            bounds = [0]
+            acc = 0
+            for r in range(n1):
+                if acc + row_tot[r] > cap and bounds[-1] != r:
+                    bounds.append(r)
+                    acc = 0
+                acc += row_tot[r]
+            bounds.append(n1)
+            hoff = np.concatenate([[0], np.cumsum(row_hits)])
+            chunks = []
+            for i in range(len(bounds) - 1):
+                assert int(row_tot[bounds[i]:bounds[i + 1]].sum()) <= cap
+                chunks.append((int(hoff[bounds[i]]),
+                               int(hoff[bounds[i + 1]] - hoff[bounds[i]])))
+            nqt = _tier(max(max(c[1] for c in chunks), 1))
 
-        # zero-pad flat probe arrays once so every chunk's static-size
-        # dynamic_slice stays in bounds
-        maxq = max((bounds[i + 1] - bounds[i]) * npos
-                   for i in range(len(bounds) - 1))
-        nq_tier = _tier(maxq)
-        left_pad = jnp.concatenate(
-            [left, jnp.zeros((nq_tier,), jnp.int32)])
-        counts_pad = jnp.concatenate(
-            [counts, jnp.zeros((nq_tier,), jnp.int32)])
+        # sentinel-pad the restored probe arrays once so every chunk's
+        # static-size dynamic_slice stays in bounds without clamping
+        rk_pad = jnp.concatenate(
+            [self.rk, jnp.full((nqt,), PAD_HASH, jnp.uint32)])
+        rleft_pad = jnp.concatenate(
+            [self.rleft, jnp.zeros((nqt,), jnp.int32)])
+        rcnt_pad = jnp.concatenate(
+            [self.rcnt, jnp.zeros((nqt,), jnp.int32)])
 
         # dispatch every chunk (async), device-accumulate the per-read
         # survivor counts, then fetch: all n_keep scalars in one sweep,
@@ -470,16 +597,12 @@ class DeviceOverlapPipeline:
         # host link pipelines concurrent fetches), counts once.
         outs = []
         kc_total = None
-        for i in range(len(bounds) - 1):
-            q0 = bounds[i] * npos
-            nq_real = (bounds[i + 1] - bounds[i]) * npos
-            assert int(row_tot[bounds[i]:bounds[i + 1]].sum()) <= cap
-            out, kc, n_keep = _emit_kernel(
-                self.packed2, self.lengths, left_pad, counts_pad,
-                self.sorted_rid, self.sorted_orient, q0,
-                np.int32(nq_real), self.hash_len,
-                nq_tier, cap, npos, self.w, self.wp, check_cont,
-                self.off_bits)
+        for h0, nh in chunks:
+            out, kc, n_keep = _emit2(
+                self.packed2, self.lengths, rk_pad, rleft_pad, rcnt_pad,
+                self.sid, np.int32(h0), np.int32(nh), self.hash_len,
+                nqt, cap, npos, self.w, self.qw_max, check_cont,
+                self.off_bits, self.uniform_len)
             outs.append((out, n_keep))
             kc_total = kc if kc_total is None else kc_total + kc
 

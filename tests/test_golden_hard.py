@@ -84,3 +84,6 @@ def test_golden_hard_config(name, engine, tmp_path):
         want_path = os.path.join(GOLDEN, "out", name, "g_" + art)
         want = open(want_path, "rb").read()
         assert got == want, "artifact mismatch: %s %s" % (name, art)
+    from test_golden import check_flow_output
+    check_flow_output(name, str(tmp_path / "t__flow.output"),
+                      os.path.join(GOLDEN, "out", name, "g__flow.output"))

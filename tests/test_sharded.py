@@ -70,3 +70,6 @@ def test_sharded_cli_byte_equality(name, args, tmp_path):
         want = open(os.path.join(GOLDEN, "out", name, "g_" + art),
                     "rb").read()
         assert got == want, "sharded artifact mismatch: %s %s" % (name, art)
+    from test_golden import check_flow_output
+    check_flow_output(name, str(tmp_path / "t__flow.output"),
+                      os.path.join(GOLDEN, "out", name, "g__flow.output"))
