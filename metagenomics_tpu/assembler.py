@@ -68,7 +68,8 @@ class Assembler:
         elif engine == "sharded":
             from .parallel.sharded import ShardedOverlapPipeline
             pipeline = ShardedOverlapPipeline(self.dataset,
-                                              self.cfg.min_overlap)
+                                              self.cfg.min_overlap,
+                                              mesh=self.cfg.mesh)
             graph.build_from_pipeline(pipeline)
         else:
             from .ops.device_overlap import DeviceOverlapPipeline

@@ -64,6 +64,8 @@ class AssemblerConfig:
     # --- New-framework options (no reference equivalent) ---
     use_native_build: bool = True      # C++ construction engine when available
     overlap_engine: str = "auto"       # auto | native | device | sharded | host
+    mesh: object = None                # jax.sharding.Mesh for the sharded
+                                       # engine (default: auto from devices)
 
     @property
     def hash_string_length(self) -> int:

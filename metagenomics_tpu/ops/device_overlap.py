@@ -189,18 +189,28 @@ def _extract_words(rows, s, w, qw_max):
 
 def _verify_pairs(packed2, len1, len2, r1, j, r2, orient, hash_len, w,
                   qw_max, check_cont):
-    """Exact packed-word verification of candidate pairs.
-
-    Inputs are per-candidate vectors; returns (edge_ok, cont_ok, eo, eoff).
-    Edge mode replicates checkOverlap (OverlapGraph.cpp:354-383, seed
-    included so hash collisions are rejected); containment mode replicates
-    checkOverlapForContainedRead (:302-340); orientation/offset derivation
-    follows OverlapGraph.cpp:550-557."""
-    l = hash_len
+    """Exact packed-word verification of candidate pairs: gathers the two
+    packed rows from the combined fwd+rev matrix, then _verify_windows."""
     nrows = packed2.shape[0] // 2
-    is_pre = (orient == 0) | (orient == 2)
     rows1 = packed2[r1]
     rows2 = packed2[jnp.where(orient <= 1, r2, r2 + nrows)]
+    return _verify_windows(rows1, rows2, len1, len2, j, orient, hash_len,
+                           w, qw_max, check_cont)
+
+
+def _verify_windows(rows1, rows2, len1, len2, j, orient, hash_len, w,
+                    qw_max, check_cont):
+    """Exact packed-word verification of candidate pairs.
+
+    rows1/rows2 are the candidates' pre-fetched packed rows (rows2 already
+    strand-resolved); the rest are per-candidate vectors.  Returns
+    (edge_ok, cont_ok, eo, eoff).  Edge mode replicates checkOverlap
+    (OverlapGraph.cpp:354-383, seed included so hash collisions are
+    rejected); containment mode replicates checkOverlapForContainedRead
+    (:302-340); orientation/offset derivation follows
+    OverlapGraph.cpp:550-557."""
+    l = hash_len
+    is_pre = (orient == 0) | (orient == 2)
     wk16 = 16 * jnp.arange(w, dtype=jnp.int32)[None, :]
 
     def windows_equal(s1, s2, m):
@@ -220,9 +230,12 @@ def _verify_pairs(packed2, len1, len2, r1, j, r2, orient, hash_len, w,
     edge_ok = ok_e & windows_equal(s1_e, s2_e, m_e)
 
     if check_cont:
-        # containment mode (checkOverlapForContainedRead)
+        # containment mode (checkOverlapForContainedRead); the len2 > l
+        # guard is a no-op for real reads (QC enforces len > min_overlap)
+        # but rejects zero-length dummy/padding rows exactly
         m2 = len2 - l
-        ok_c = jnp.where(is_pre, len1 - j - l >= m2, j >= m2) & (len1 > len2)
+        ok_c = (jnp.where(is_pre, len1 - j - l >= m2, j >= m2)
+                & (len1 > len2) & (len2 > l))
         s1_c = jnp.clip(jnp.where(is_pre, j, j - m2), 0, None)
         m_c = jnp.where(ok_c, len2, 0)
         cont_ok = ok_c & windows_equal(s1_c, jnp.zeros_like(s1_c), m_c)

@@ -14,7 +14,6 @@ probe loop, HashTable.cpp:202-221, turned into an SPMD collective).
 
 from .mesh import make_mesh
 from .launcher import initialize_distributed
-from .sharded import sharded_overlap_counts, sharded_qc_canonicalize
+from .sharded import ShardedOverlapPipeline
 
-__all__ = ["make_mesh", "initialize_distributed",
-           "sharded_overlap_counts", "sharded_qc_canonicalize"]
+__all__ = ["make_mesh", "initialize_distributed", "ShardedOverlapPipeline"]

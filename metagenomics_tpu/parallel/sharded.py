@@ -1,22 +1,40 @@
-"""SPMD overlap-detection over a ("dp", "ix") device mesh via shard_map.
+"""SPMD overlap detection over a ("dp", "ix") device mesh via shard_map.
 
 This is the scaling path for the assembler's hot phase (the reference's
-single-threaded probe loop, HashTable.cpp:202-221 + OverlapGraph.cpp:529-565,
-re-expressed as an SPMD join): read/query batches are data-parallel over
-"dp", the sorted l-mer index is sharded by position range over "ix", every
-(dp, ix) device pair probes its query block against its index slice, local
-survivors are verified in place (packed-word compares against the replicated
-read matrix) and exchanged over the "ix" axis with all_gather; an on-device
-stable merge sort restores the reference's global discovery order before a
-single per-dp-shard stream crosses to the host.
+single-threaded probe loop, HashTable.cpp:202-221 + OverlapGraph.cpp:
+529-565), re-expressed as a fully sharded sort-merge join:
+
+* reads are row-sharded over "dp": the raw code matrix is uploaded with a
+  ("dp", None) sharding and every per-read derivation — 2-bit packing,
+  reverse complements, window hashes, the 4-key index slice — runs under
+  shard_map on the owning shard.  Nothing about the read set is
+  replicated: no unsharded array larger than one shard exists anywhere,
+* the l-mer index is sharded by HASH RANGE over "ix": each dp shard sorts
+  its local keys, every (dp, ix) device takes its hash range's slice from
+  each shard with one all_gather over "dp" and merge-sorts them (stability
+  + shard-major concat order reproduce the reference's global bucket
+  (read id, orient) order exactly).  A hash bucket lives wholly inside one
+  range, so survivors never interleave across "ix",
+* each (dp, ix) device probes its local query block against its index
+  slice with the same stable sort-merge join as the single-device engine
+  (ops/device_overlap._probe_join structure): queries sort before their
+  equal-key index entries, prefix scans give bucket bounds, a second sort
+  compacts hit queries in (read, position) order,
+* emission is CHUNKED: row windows whose ix-summed candidate totals fit a
+  fixed per-device buffer, so every all_gather buffer is bounded by the
+  chunk tier, not by the dataset,
+* verification gets each candidate's r2 row from a RING EXCHANGE over
+  "dp": candidates are sorted by r2's owner shard and each of the D ring
+  rounds verifies the resident tile's block — packed row tiles move over
+  the interconnect (jax.lax.ppermute), never a replicated matrix,
+* per-chunk survivors carry their global query id; one all_gather over
+  "ix" plus a stable merge sort restores the reference's discovery order
+  before the per-shard stream crosses to the host.
 
 ShardedOverlapPipeline is interface-compatible with
 ops.device_overlap.DeviceOverlapPipeline (same stream() contract), so the
-assembler's native threaded replay consumes either.  Scale notes: the read
-matrix is replicated (2-bit packed, ~n*L/4 bytes — ring-exchange over "ix"
-is the next step beyond HBM capacity); hit counts/canonicalization helpers
-below are the original single-kernel building blocks kept for the dry-run
-and unit tests.
+assembler's native threaded replay consumes either and the artifacts stay
+byte-equal (tests/test_sharded.py, __graft_entry__.dryrun_multichip).
 """
 
 from functools import partial
@@ -24,154 +42,48 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.packing import PAD_CODE
+from ..ops import device_overlap as dov
 
 
 def shard_map(f, mesh, in_specs, out_specs):
     return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
 
-# numpy scalar on purpose: a module-level jnp constant would initialize the
+# numpy scalars on purpose: module-level jnp constants would initialize the
 # XLA backend at import time, breaking jax.distributed.initialize ordering
 PAD_KEY = np.uint32(0xFFFFFFFF)
+SENT = np.uint32(0xFFFFFFFF)
 
 
-def _rc_local(codes, lengths):
-    lmax = codes.shape[1]
-    k = jnp.arange(lmax)[None, :]
-    src = jnp.clip(lengths[:, None] - 1 - k, 0, lmax - 1)
-    g = jnp.take_along_axis(codes, src.astype(jnp.int32), axis=1)
-    return jnp.where(k < lengths[:, None], 3 - g, PAD_CODE).astype(jnp.uint8)
+def _expand_window(rk, rleft, rcnt, h0, nh, cap):
+    """Slice one hit window [h0, h0+nh) (sentinel-padded) and expand it:
+    per-slot hit index, local query id, index position and liveness.
 
-
-def _canonical_local(codes, lengths):
-    rc = _rc_local(codes, lengths)
-    neq = codes != rc
-    lmax = codes.shape[1]
-    first = jnp.where(neq.any(axis=1), jnp.argmax(neq, axis=1), lmax)
-    idx = jnp.clip(first, 0, lmax - 1)
-    av = jnp.take_along_axis(codes, idx[:, None], axis=1)[:, 0]
-    bv = jnp.take_along_axis(rc, idx[:, None], axis=1)[:, 0]
-    fwd_less = (first < lmax) & (av < bv)
-    return jnp.where(fwd_less[:, None], codes, rc).astype(jnp.uint8)
-
-
-def _query_keys_local(codes, lengths, hash_len):
-    """All l-mer keys (2-bit packed into uint32, requires hash_len <= 16) for
-    every interior position of every read; invalid positions get PAD_KEY.
-    Returns [n * npos] with npos = lmax - hash_len."""
-    n, lmax = codes.shape
-    l = hash_len
-    npos = max(lmax - l, 1)
-    win = jnp.clip(jnp.arange(npos)[:, None] + jnp.arange(l)[None, :],
-                   0, lmax - 1)                      # [npos, l]
-    windows = codes[:, win]                          # [n, npos, l]
-    pow4 = (jnp.uint32(1) << (2 * jnp.arange(l - 1, -1, -1)).astype(jnp.uint32))
-    keys = (windows.astype(jnp.uint32) * pow4[None, None, :]).sum(
-        axis=-1, dtype=jnp.uint32)                   # [n, npos]
-    j = jnp.broadcast_to(jnp.arange(npos)[None, :], (n, npos))
-    valid = (j >= 1) & (j < lengths[:, None] - l)
-    return jnp.where(valid, keys, PAD_KEY).reshape(n * npos)
-
-
-def sharded_qc_canonicalize(mesh, codes, lengths, min_overlap: int):
-    """QC + canonicalize, reads sharded over dp (pure data parallel)."""
-
-    def kernel(c, ln):
-        valid = jnp.arange(c.shape[1])[None, :] < ln[:, None]
-        ok = jnp.where(valid, c <= 3, True).all(axis=1)
-        counts = jnp.stack(
-            [jnp.where(valid, c == b, False).sum(axis=1) for b in range(4)], 1)
-        thr = jnp.trunc(ln.astype(jnp.float32) * 0.8).astype(counts.dtype)
-        good = ok & (counts < thr[:, None]).all(axis=1) & (ln > min_overlap)
-        return _canonical_local(c, ln), good
-
-    f = shard_map(kernel, mesh=mesh,
-                  in_specs=(P("dp", None), P("dp")),
-                  out_specs=(P("dp", None), P("dp")))
-    return jax.jit(f)(codes, lengths)
-
-
-def sharded_overlap_counts(mesh, sorted_index_keys, query_keys):
-    """Per-query hit counts: queries dp-sharded, index ix-sharded, partial
-    counts psum'ed over the ix axis."""
-
-    def kernel(idx_shard, q):
-        idx = idx_shard.reshape(-1)
-        left = jnp.searchsorted(idx, q, side="left")
-        right = jnp.searchsorted(idx, q, side="right")
-        cnt = (right - left).astype(jnp.int32)
-        cnt = jnp.where(q == PAD_KEY, 0, cnt)
-        return jax.lax.psum(cnt, "ix")
-
-    f = shard_map(kernel, mesh=mesh,
-                  in_specs=(P("ix"), P("dp")),
-                  out_specs=P("dp"))
-    return jax.jit(f)(sorted_index_keys, query_keys)
-
-
-def assembly_step(mesh, codes, lengths, sorted_index_keys, hash_len: int,
-                  min_overlap: int):
-    """One full SPMD step of the overlap-detection pipeline: QC +
-    canonicalization (dp), l-mer key extraction (dp), index probe counts
-    (dp x ix join, psum over ix), global candidate total (psum over dp).
-
-    This is the "training step" analog the multi-chip dry-run compiles: it
-    exercises dp sharding, index (tensor-analog) sharding and both collective
-    axes in one jitted program.
+    Returns (qid_l, src, k, total) with qid_l the slot's LOCAL query id
+    (garbage beyond `total`), src its position in the sorted index slice.
     """
-
-    def kernel(c, ln, idx_shard):
-        canon, good = _qc_canon(c, ln, min_overlap)
-        keys = _query_keys_local(canon, ln, hash_len)
-        npos = keys.shape[0] // c.shape[0]
-        keys = jnp.where(jnp.repeat(good, npos), keys, PAD_KEY)
-        idx = idx_shard.reshape(-1)
-        left = jnp.searchsorted(idx, keys, side="left")
-        right = jnp.searchsorted(idx, keys, side="right")
-        cnt = jnp.where(keys == PAD_KEY, 0, (right - left).astype(jnp.int32))
-        per_query = jax.lax.psum(cnt, "ix")
-        total = jax.lax.psum(per_query.sum(), "dp")
-        return per_query, total
-
-    def _qc_canon(c, ln, mo):
-        valid = jnp.arange(c.shape[1])[None, :] < ln[:, None]
-        ok = jnp.where(valid, c <= 3, True).all(axis=1)
-        counts = jnp.stack(
-            [jnp.where(valid, c == b, False).sum(axis=1) for b in range(4)], 1)
-        thr = jnp.trunc(ln.astype(jnp.float32) * 0.8).astype(counts.dtype)
-        good = ok & (counts < thr[:, None]).all(axis=1) & (ln > mo)
-        return _canonical_local(c, ln), good
-
-    f = shard_map(kernel, mesh=mesh,
-                  in_specs=(P("dp", None), P("dp"), P("ix")),
-                  out_specs=(P("dp"), P()))
-    return jax.jit(f)(codes, lengths, sorted_index_keys)
-
-
-# --------------------------------------------------------------------------
-# Full sharded overlap pipeline: candidates, verification, global-order merge
-# --------------------------------------------------------------------------
-
-def _local_probe(keys_loc, m_real, hf_blk, lengths_blk, hash_len):
-    """Per-device probe of the local query block against the local index
-    slice: (left, counts) with counts clamped to the slice's real entries.
-    A bucket (equal-key run) that crosses a slice boundary contributes its
-    in-slice portion on each side; concatenation over "ix" restores the full
-    bucket in sorted order."""
-    l = hash_len
-    n_loc, npos = hf_blk.shape
-    q = hf_blk.reshape(-1)
-    jj = jnp.arange(npos, dtype=jnp.int32)[None, :]
-    valid = ((jj >= 1) & (jj < (lengths_blk[:, None] - l))).reshape(-1)
-    left = jnp.searchsorted(keys_loc, q, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(keys_loc, q, side="right").astype(jnp.int32)
-    right = jnp.minimum(right, m_real)
-    left_c = jnp.minimum(left, right)
-    counts = jnp.where(valid, right - left_c, 0).astype(jnp.int32)
-    return left_c, counts
+    pad_q = jnp.full((cap,), SENT, jnp.uint32)
+    pad_i = jnp.zeros((cap,), jnp.int32)
+    qid_s = jax.lax.dynamic_slice(jnp.concatenate([rk, pad_q]), (h0,), (cap,))
+    left_s = jax.lax.dynamic_slice(jnp.concatenate([rleft, pad_i]),
+                                   (h0,), (cap,))
+    cnt_s = jax.lax.dynamic_slice(jnp.concatenate([rcnt, pad_i]),
+                                  (h0,), (cap,))
+    live = jnp.arange(cap, dtype=jnp.int32) < nh
+    cnt_s = jnp.where(live, cnt_s, 0)
+    cum = jnp.cumsum(cnt_s, dtype=jnp.int32)
+    total = cum[-1]
+    starts = cum - cnt_s
+    hdest = jnp.where(cnt_s > 0, starts, cap)
+    seed = jnp.zeros((cap,), jnp.int32).at[hdest].max(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    hidx = jax.lax.cummax(seed)
+    k = jnp.arange(cap, dtype=jnp.int32)
+    src = k + (left_s - starts)[hidx]
+    qid_l = (qid_s[hidx] & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32)
+    return qid_l, src, k, total
 
 
 class ShardedOverlapPipeline:
@@ -183,8 +95,9 @@ class ShardedOverlapPipeline:
     and the artifacts stay byte-equal (tests/test_sharded.py).
     """
 
+    MAX_CAP = 1 << 22      # per-device upper bound on a chunk's buffer
+
     def __init__(self, dataset, min_overlap, mesh=None):
-        from ..ops import device_overlap as dov
         from .mesh import make_mesh
         self.ds = dataset
         self.hash_len = min_overlap - 1
@@ -194,8 +107,11 @@ class ShardedOverlapPipeline:
             ix = 2 if nd % 2 == 0 and nd >= 4 else 1
             mesh = make_mesh(dp=nd // ix, ix=ix)
         self.mesh = mesh
-        self.dp = mesh.shape["dp"]
-        self.ix = mesh.shape["ix"]
+        self.dp = D = mesh.shape["dp"]
+        self.ix = I = mesh.shape["ix"]
+        if I & (I - 1):
+            raise ValueError("ix axis must be a power of two (hash-range "
+                             "sharding uses top-bit ranges), got %d" % I)
 
         lmax = ds.codes_fwd.shape[1]
         if lmax >= 4096:
@@ -203,145 +119,418 @@ class ShardedOverlapPipeline:
         self.lmax = lmax
         self.npos = lmax - self.hash_len + 1
         self.w = (lmax + 15) // 16
-        self.wp = 2 * self.w + 1
+        self.qw_max = (lmax - self.hash_len) >> 4
+        self.wp = self.qw_max + self.w + 1
 
-        # replicated read matrix (2-bit packed fwd+rev rows) + lengths
-        lengths32 = jnp.asarray(ds.lengths.astype(np.int32))
-        pf = jnp.asarray(dov.pack_codes_host(ds.codes_fwd))
-        codes_fwd = dov._unpack_codes(pf, lmax)
-        codes_rev = dov._rc_codes(codes_fwd, lengths32)
-        pr = dov._pack_codes_device(codes_rev, self.w)
-        pad = ((0, 0), (0, self.wp - self.w))
-        self.packed2 = jnp.concatenate(
-            [jnp.pad(pf, pad), jnp.pad(pr, pad)], axis=0)
-        self.lengths = lengths32
-
-        # window hashes, dp-padded so every shard gets equal rows
-        hf = dov.window_hashes_u32(codes_fwd, self.hash_len)
-        hr = dov.window_hashes_u32(codes_rev, self.hash_len)
-        n1 = hf.shape[0]
+        n1 = ds.codes_fwd.shape[0]
         self.n1 = n1
-        n_pad = -n1 % self.dp
-        self.n1_pad = n1 + n_pad
-        # global query ids q = row*npos + j are int32 with sentinel
-        # 0x7FFFFFFF; overflow would silently corrupt the merge order
-        if self.n1_pad * self.npos >= 0x7FFFFFFF:
+        self.nloc = nloc = -(-n1 // D)
+        self.n1_pad = nloc * D
+        # local query ids carry a validity bit at 2^30; global ids must fit
+        # the uint32 merge key with the 0xFFFFFFFF sentinel reserved
+        if nloc * self.npos >= 1 << 30 \
+                or self.n1_pad * self.npos >= 0xFFFFFFFF:
             raise ValueError(
-                "global query id space exceeds int32 (%d reads x %d "
-                "positions); shard the dataset first" %
-                (self.n1_pad, self.npos))
-        self.hf_pad = jnp.pad(hf, ((0, n_pad), (0, 0)))
-        self.len_pad = jnp.pad(lengths32, (0, n_pad))
+                "query id space too large (%d rows x %d positions over %d "
+                "dp shards)" % (self.n1_pad, self.npos, D))
 
-        # sorted l-mer index, ix-padded (position-range sharding)
-        sk, srid, sorient, _ = dov._index_kernel(
-            hf, hr, lengths32, self.hash_len)
-        m = sk.shape[0]
-        m_pad = -m % self.ix
-        self.keys = jnp.concatenate(
-            [sk, jnp.full((m_pad,), dov.PAD_HASH, jnp.uint32)])
-        self.rid = jnp.concatenate([srid, jnp.zeros((m_pad,), jnp.int32)])
-        self.orient = jnp.concatenate(
-            [sorient, jnp.zeros((m_pad,), jnp.int32)])
-        m_tot = m + m_pad
-        m_loc = m_tot // self.ix
-        # real (non-pad) entries of each ix slice
-        self.m_real = jnp.asarray(
-            [max(0, min(m - i * m_loc, m_loc)) for i in range(self.ix)],
-            dtype=jnp.int32)
+        # sharded upload: each dp shard receives only its row block
+        pad_rows = self.n1_pad - n1
+        codes_host = ds.codes_fwd
+        lengths_host = ds.lengths.astype(np.int32)
+        if pad_rows:
+            codes_host = np.concatenate(
+                [codes_host, np.full((pad_rows, lmax), 4, np.uint8)])
+            lengths_host = np.concatenate(
+                [lengths_host, np.zeros(pad_rows, np.int32)])
+        self.codes = jax.device_put(codes_host,
+                                    NamedSharding(mesh, P("dp", None)))
+        self.lengths = jax.device_put(lengths_host,
+                                      NamedSharding(mesh, P("dp")))
 
-    def _counts_pass(self, check_cont):
-        mesh = self.mesh
-        hash_len = self.hash_len
+        # stage 1: per-shard setup (replicated over "ix" — same wall time
+        # as a dp-only mesh, no cross-ix traffic)
+        (self.pfwd, self.prev, self.hf, self.keys_l, self.id_l,
+         blocksizes) = self._setup()
+        self.cap_blk = int(dov._tier(
+            max(int(np.asarray(blocksizes).max()), 1), lo=1 << 8))
 
-        def kernel(keys_loc, m_real, hf_blk, lengths_blk):
-            _, counts = _local_probe(keys_loc, m_real[0], hf_blk,
-                                     lengths_blk, hash_len)
-            return counts.sum(dtype=jnp.int32).reshape(1, 1)
+        # stages 2+3: index range exchange + local sort-merge probe join
+        (self.sid2, self.rk, self.rleft, self.rcnt, self.row_hits_cum,
+         row_tot, grand_parts) = self._probe(self.cap_blk)
+        self.row_tot = np.asarray(row_tot).astype(np.int64)
+        self.grand = int(np.asarray(grand_parts).sum(dtype=np.int64))
+
+    # ------------------------------------------------------------- stage 1
+
+    def _setup(self):
+        mesh, I = self.mesh, self.ix
+        hash_len, w, wp, nloc, npos = (self.hash_len, self.w, self.wp,
+                                       self.nloc, self.npos)
+        rbits = (I - 1).bit_length()           # range id = key >> (32-rbits)
+
+        def kernel(codes_u8, lengths):
+            codes_fwd = (codes_u8 & 3).astype(jnp.uint8)
+            codes_rev = dov._rc_codes(codes_fwd, lengths)
+            pad = ((0, 0), (0, wp - w))
+            pfwd = jnp.pad(dov._pack_codes_device(codes_fwd, w), pad)
+            prev = jnp.pad(dov._pack_codes_device(codes_rev, w), pad)
+            hf = dov.window_hashes_u32(codes_fwd, hash_len)
+            hr = dov.window_hashes_u32(codes_rev, hash_len)
+
+            # 4-key local index with GLOBAL read ids; zero-length rows
+            # (the global dummy row 0 and dp padding) become inert PAD
+            # entries with identry 0 (rejected at verification: length 0)
+            d = jax.lax.axis_index("dp")
+            rows_g = d * nloc + jnp.arange(nloc, dtype=jnp.int32)
+            real = lengths > hash_len
+            suf = jnp.clip(lengths - hash_len, 0, npos - 1).astype(jnp.int32)
+            k0 = hf[:, 0]
+            k1 = jnp.take_along_axis(hf, suf[:, None], axis=1)[:, 0]
+            k2 = hr[:, 0]
+            k3 = jnp.take_along_axis(hr, suf[:, None], axis=1)[:, 0]
+            keys = jnp.stack([k0, k1, k2, k3], axis=1)
+            keys = jnp.where(real[:, None], keys, jnp.uint32(PAD_KEY))
+            keys = keys.reshape(-1)
+            rid = jnp.repeat(rows_g.astype(jnp.uint32), 4)
+            orient = jnp.tile(jnp.arange(4, dtype=jnp.uint32), nloc)
+            identry = jnp.where(jnp.repeat(real, 4),
+                                (rid << 2) | orient, jnp.uint32(0))
+            sk, sid = jax.lax.sort((keys, identry), num_keys=1,
+                                   is_stable=True)
+            # per-range block sizes of this shard's sorted keys
+            if rbits:
+                rng = (sk >> jnp.uint32(32 - rbits)).astype(jnp.int32)
+                bs = jnp.zeros((I,), jnp.int32).at[rng].add(1, mode="drop")
+            else:
+                bs = jnp.array([sk.shape[0]], jnp.int32)
+            return pfwd, prev, hf, sk, sid, bs[None, :]
 
         f = shard_map(kernel, mesh,
-                      in_specs=(P("ix"), P("ix"), P("dp", None), P("dp")),
-                      out_specs=P("dp", "ix"))
-        return jax.jit(f)(self.keys, self.m_real, self.hf_pad, self.len_pad)
+                      in_specs=(P("dp", None), P("dp")),
+                      out_specs=(P("dp", None), P("dp", None),
+                                 P("dp", None), P("dp"), P("dp"),
+                                 P("dp", None)))
+        return jax.jit(f)(self.codes, self.lengths)
 
-    def _emit_pass(self, cap, check_cont):
-        from ..ops.device_overlap import _expand_verify
-        mesh = self.mesh
-        hash_len, npos, w, wp = self.hash_len, self.npos, self.w, self.wp
-        n_loc = self.n1_pad // self.dp
-        SENT = jnp.int32(0x7FFFFFFF)
+    # --------------------------------------------------------- stages 2+3
 
-        @partial(jax.jit, static_argnames=("cc",))
-        def run(keys_loc_a, rid_a, orient_a, m_real_a, hf_a, len_blk_a,
-                packed2_a, lengths_a, cc):
-            def kernel(keys_loc, rid_loc, orient_loc, m_real, hf_blk,
-                       len_blk, packed2, lengths):
-                left, counts = _local_probe(keys_loc, m_real[0], hf_blk,
-                                            len_blk, hash_len)
-                row0 = jax.lax.axis_index("dp") * n_loc
-                keep, r1, r2, qidx, fe, eoff = _expand_verify(
-                    packed2, lengths, left, counts, rid_loc, orient_loc,
-                    row0, hash_len, cap, npos, w, wp, cc)
-                # local stable compaction, q = global query id
-                pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-                dst = jnp.where(keep, pos, cap)
-                n_keep = jnp.where(keep.any(), pos[-1] + 1, 0)
-                q = row0 * npos + qidx
-                meta = (fe | (eoff << 4)).astype(jnp.uint16)
-                q_out = jnp.full((cap,), SENT).at[dst].set(q, mode="drop")
-                r2_out = jnp.zeros((cap,), jnp.int32).at[dst].set(
-                    r2, mode="drop")
-                meta_out = jnp.zeros((cap,), jnp.uint16).at[dst].set(
-                    meta, mode="drop")
-                # exchange survivors across the index axis and restore the
-                # reference's discovery order: stable sort by q keeps the
-                # (ix slice, bucket position) order for equal queries.
-                qg = jax.lax.all_gather(q_out, "ix").reshape(-1)
-                r2g = jax.lax.all_gather(r2_out, "ix").reshape(-1)
-                mg = jax.lax.all_gather(meta_out, "ix").reshape(-1)
-                qs, r2s, ms = jax.lax.sort((qg, r2g, mg), num_keys=1,
+    @partial(jax.jit, static_argnames=("self", "cap_blk"))
+    def _probe(self, cap_blk):
+        mesh, D, I = self.mesh, self.dp, self.ix
+        hash_len, nloc, npos = self.hash_len, self.nloc, self.npos
+        rbits = (I - 1).bit_length()
+        m_loc = 4 * nloc
+        q_loc = nloc * npos
+        sl = min(cap_blk, m_loc)
+        # blocked partial sums keep int32 accumulators exact (finished in
+        # int64 on the host)
+        sum_block = 1 << max(3, min(12, 29 - max(m_loc * D, 1).bit_length()))
+
+        def kernel(keys_l, id_l, hf, lengths):
+            i = jax.lax.axis_index("ix")
+            # ---- own hash range's slice of this dp shard's index -------
+            if rbits:
+                lo = i.astype(jnp.uint32) << jnp.uint32(32 - rbits)
+                start = jnp.searchsorted(keys_l, lo, side="left")
+                start = jnp.minimum(start.astype(jnp.int32),
+                                    jnp.int32(m_loc - sl))
+                blk_k = jax.lax.dynamic_slice(keys_l, (start,), (sl,))
+                blk_i = jax.lax.dynamic_slice(id_l, (start,), (sl,))
+                in_rng = (blk_k >> jnp.uint32(32 - rbits)).astype(
+                    jnp.int32) == i
+                blk_k = jnp.where(in_rng, blk_k, jnp.uint32(PAD_KEY))
+                blk_i = jnp.where(in_rng, blk_i, jnp.uint32(0))
+            else:
+                blk_k, blk_i = keys_l, id_l
+            if cap_blk > sl:
+                blk_k = jnp.concatenate(
+                    [blk_k, jnp.full((cap_blk - sl,), PAD_KEY, jnp.uint32)])
+                blk_i = jnp.concatenate(
+                    [blk_i, jnp.zeros((cap_blk - sl,), jnp.uint32)])
+            # ---- merge the D shard slices (shard-major concat + stable
+            # sort = the reference's global bucket (rid, orient) order) ---
+            gk = jax.lax.all_gather(blk_k, "dp").reshape(-1)
+            gi = jax.lax.all_gather(blk_i, "dp").reshape(-1)
+            sk, sid = jax.lax.sort((gk, gi), num_keys=1, is_stable=True)
+
+            # ---- sort-merge join of the local query block --------------
+            q = hf.reshape(-1)
+            jj = jnp.arange(npos, dtype=jnp.int32)[None, :]
+            valid = ((jj >= 1) & (jj < (lengths[:, None] - hash_len))
+                     ).reshape(-1)
+            qid = jnp.arange(q_loc, dtype=jnp.uint32)
+            pq = qid | jnp.where(valid, jnp.uint32(0),
+                                 jnp.uint32(0x40000000))
+            pi = jnp.uint32(0x80000000) | jnp.arange(
+                D * cap_blk, dtype=jnp.uint32)
+            kv, pv = jax.lax.sort(
+                (jnp.concatenate([q, sk]), jnp.concatenate([pq, pi])),
+                num_keys=1, is_stable=True)
+            tag = (pv >> 31).astype(jnp.int32)
+            u = jnp.cumsum(tag, dtype=jnp.int32)
+            left = u
+            is_last = jnp.concatenate([kv[1:] != kv[:-1],
+                                       jnp.ones((1,), bool)])
+            ub = jnp.flip(jax.lax.cummin(jnp.flip(
+                jnp.where(is_last, u, jnp.int32(0x7FFFFFFF)))))
+            cnt = ub - left
+            is_query = tag == 0
+            hit = is_query & (cnt > 0) & \
+                ((pv & jnp.uint32(0x40000000)) == 0)
+            rkey = jnp.where(hit, pv & jnp.uint32(0x3FFFFFFF),
+                             jnp.uint32(SENT))
+            rk, rleft, rcnt = jax.lax.sort((rkey, left, cnt), num_keys=1,
                                            is_stable=True)
-                return (qs[None], r2s[None], ms[None],
-                        n_keep.reshape(1, 1).astype(jnp.int32))
 
-            f = shard_map(
-                kernel, mesh,
-                in_specs=(P("ix"), P("ix"), P("ix"), P("ix"),
-                          P("dp", None), P("dp"), P(None, None), P(None)),
-                out_specs=(P("dp", None), P("dp", None), P("dp", None),
-                           P("dp", "ix")))
-            return f(keys_loc_a, rid_a, orient_a, m_real_a, hf_a, len_blk_a,
-                     packed2_a, lengths_a)
+            # per-local-row hit offsets (device) + ix-total candidate sums
+            vsz = rk.shape[0]
+            h_total = hit.sum(dtype=jnp.int32)
+            isq = jnp.arange(vsz, dtype=jnp.int32) < h_total
+            row = jnp.where(isq, (rk // jnp.uint32(npos)).astype(jnp.int32),
+                            nloc)
+            cq = jnp.where(isq, rcnt, 0)
+            row_hits = jnp.zeros((nloc,), jnp.int32).at[row].add(
+                jnp.where(isq, 1, 0), mode="drop")
+            row_tot = jnp.zeros((nloc,), jnp.int32).at[row].add(
+                cq, mode="drop")
+            row_hits_cum = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_hits)])
+            row_tot_all = jax.lax.psum(row_tot, "ix")
 
-        return run(self.keys, self.rid, self.orient, self.m_real,
-                   self.hf_pad, self.len_pad, self.packed2, self.lengths,
-                   cc=check_cont)
+            vp = -vsz % sum_block
+            parts = jnp.pad(cq, (0, vp)).reshape(-1, sum_block).sum(
+                axis=1, dtype=jnp.int32)
+            return (sid[None], rk[None], rleft[None], rcnt[None],
+                    row_hits_cum[None], row_tot_all, parts[None])
+
+        f = shard_map(
+            kernel, mesh,
+            in_specs=(P("dp"), P("dp"), P("dp", None), P("dp")),
+            out_specs=(P(("dp", "ix")), P(("dp", "ix")), P(("dp", "ix")),
+                       P(("dp", "ix")), P(("dp", "ix")), P("dp"),
+                       P(("dp", "ix"))))
+        return f(self.keys_l, self.id_l, self.hf, self.lengths)
+
+    # ------------------------------------------------------------ prepass
+
+    @partial(jax.jit, static_argnames=("self", "cap"))
+    def _owner_hist(self, r0s, r1s, cap):
+        """Largest per-owner candidate block of one chunk, per device —
+        sizes the static ring-round slice M_blk (host takes the max)."""
+        mesh, D = self.mesh, self.dp
+        nloc = self.nloc
+
+        def kernel(rk, rleft, rcnt, hcum, r0, r1, sid):
+            rk, rleft, rcnt, hcum, sid = (rk[0], rleft[0], rcnt[0],
+                                          hcum[0], sid[0])
+            h0 = hcum[r0[0]]
+            nh = hcum[r1[0]] - h0
+            _, src, k, total = _expand_window(rk, rleft, rcnt, h0, nh, cap)
+            e = sid[jnp.clip(src, 0, sid.shape[0] - 1)]
+            r2 = (e >> 2).astype(jnp.int32)
+            owner = jnp.clip(r2 // nloc, 0, D - 1)
+            hist = jnp.zeros((D,), jnp.int32).at[
+                jnp.where(k < total, owner, D)].add(1, mode="drop")
+            return hist.max().reshape(1, 1)
+
+        f = shard_map(
+            kernel, mesh,
+            in_specs=(P(("dp", "ix")), P(("dp", "ix")), P(("dp", "ix")),
+                      P(("dp", "ix")), P("dp"), P("dp"), P(("dp", "ix"))),
+            out_specs=P("dp", "ix"))
+        return f(self.rk, self.rleft, self.rcnt, self.row_hits_cum,
+                 r0s, r1s, self.sid2)
+
+    # --------------------------------------------------------------- emit
+
+    @partial(jax.jit, static_argnames=("self", "cap", "m_blk", "cc"))
+    def _emit_chunk(self, r0s, r1s, cap, m_blk, cc):
+        mesh, D = self.mesh, self.dp
+        nloc, npos, w = self.nloc, self.npos, self.w
+        hash_len, qw_max = self.hash_len, self.qw_max
+
+        def kernel(rk, rleft, rcnt, hcum, r0, r1, sid, pfwd, prev, lengths):
+            rk, rleft, rcnt, hcum, sid = (rk[0], rleft[0], rcnt[0],
+                                          hcum[0], sid[0])
+            d_my = jax.lax.axis_index("dp")
+            h0 = hcum[r0[0]]
+            nh = hcum[r1[0]] - h0
+            qid_l, src, k, total = _expand_window(rk, rleft, rcnt, h0, nh,
+                                                  cap)
+            e = sid[jnp.clip(src, 0, sid.shape[0] - 1)]
+            r2 = (e >> 2).astype(jnp.int32)
+            orient = (e & 3).astype(jnp.int32)
+            r1loc = jnp.clip(qid_l // npos, 0, nloc - 1)
+            j = qid_l - (qid_l // npos) * npos
+            len1 = lengths[r1loc]
+            in_range = k < total
+
+            # ---- candidates sorted by r2's owner shard -----------------
+            owner = jnp.where(in_range,
+                              jnp.clip(r2 // nloc, 0, D - 1),
+                              D).astype(jnp.uint32)
+            meta1 = (jnp.clip(j, 0, 4095).astype(jnp.uint32)
+                     | (jnp.clip(len1, 0, 4095).astype(jnp.uint32) << 12)
+                     | (orient.astype(jnp.uint32) << 24))
+            so, sslot, sr2, sm1, sr1loc, sqid = jax.lax.sort(
+                (owner, k.astype(jnp.uint32), r2.astype(jnp.uint32), meta1,
+                 r1loc.astype(jnp.uint32),
+                 qid_l.astype(jnp.uint32)), num_keys=2, is_stable=False)
+            off = jnp.searchsorted(
+                so, jnp.arange(D + 1, dtype=jnp.uint32)).astype(jnp.int32)
+            rows1_all = pfwd[sr1loc.astype(jnp.int32)]
+
+            # ---- D-round ring verify -----------------------------------
+            tile = jnp.concatenate([pfwd, prev], axis=0)
+            tlen = lengths
+            blks = []
+            for t in range(D):
+                o = (d_my + t) % D
+                start = off[o]
+                bsz = off[o + 1] - start
+
+                def blk(a):
+                    return jax.lax.dynamic_slice(
+                        a, (start,) + (0,) * (a.ndim - 1),
+                        (m_blk,) + a.shape[1:])
+                br2 = blk(sr2).astype(jnp.int32)
+                bm1 = blk(sm1)
+                bj = (bm1 & 4095).astype(jnp.int32)
+                blen1 = ((bm1 >> 12) & 4095).astype(jnp.int32)
+                bori = ((bm1 >> 24) & 3).astype(jnp.int32)
+                lrow = jnp.clip(br2 - o * nloc, 0, nloc - 1)
+                rows2 = tile[lrow + nloc * (bori > 1)]
+                edge_ok, cont_ok, eo, eoff = dov._verify_windows(
+                    blk(rows1_all), rows2, blen1, tlen[lrow], bj, bori,
+                    hash_len, w, qw_max, cc)
+                livem = jnp.arange(m_blk, dtype=jnp.int32) < bsz
+                bkeep = livem & (edge_ok | cont_ok)
+                fe = (eo | (edge_ok.astype(jnp.int32) << 2)
+                      | (cont_ok.astype(jnp.int32) << 3))
+                bmeta = (fe | (eoff << 4)).astype(jnp.uint16)
+                blks.append((bkeep, blk(sslot), blk(sqid), br2,
+                             bmeta.astype(jnp.uint32)))
+                if t != D - 1:
+                    perm = [(x, (x - 1) % D) for x in range(D)]
+                    tile = jax.lax.ppermute(tile, "dp", perm)
+                    tlen = jax.lax.ppermute(tlen, "dp", perm)
+
+            keep_f = jnp.concatenate([b[0] for b in blks])
+            slot_f = jnp.concatenate([b[1] for b in blks])
+            qidl_f = jnp.concatenate([b[2] for b in blks])
+            r2_f = jnp.concatenate([b[3] for b in blks])
+            meta_f = jnp.concatenate([b[4] for b in blks])
+            n_keep = keep_f.sum(dtype=jnp.int32)
+
+            # compaction + slot order (= qid asc, bucket order) in one sort
+            base = (jnp.uint32(d_my) * jnp.uint32(nloc)
+                    * jnp.uint32(npos))
+            qkey_f = jnp.where(keep_f, base + qidl_f, jnp.uint32(SENT))
+            skey = jnp.where(keep_f, slot_f, jnp.uint32(SENT))
+            _, qo, r2o, mo = jax.lax.sort(
+                (skey, qkey_f, r2_f.astype(jnp.uint32), meta_f),
+                num_keys=1, is_stable=True)
+            if qo.shape[0] < cap:
+                padn = cap - qo.shape[0]
+                qo = jnp.concatenate(
+                    [qo, jnp.full((padn,), SENT, jnp.uint32)])
+                r2o = jnp.concatenate([r2o, jnp.zeros((padn,), jnp.uint32)])
+                mo = jnp.concatenate([mo, jnp.zeros((padn,), jnp.uint32)])
+            qo, r2o, mo = qo[:cap], r2o[:cap], mo[:cap]
+
+            # cross-ix merge in global qid order (a bucket lives wholly in
+            # one hash range, so streams never interleave within a query)
+            qg = jax.lax.all_gather(qo, "ix").reshape(-1)
+            r2g = jax.lax.all_gather(r2o, "ix").reshape(-1)
+            mg = jax.lax.all_gather(mo, "ix").reshape(-1)
+            qs, r2s, ms = jax.lax.sort((qg, r2g, mg), num_keys=1,
+                                       is_stable=True)
+            nk_all = jax.lax.psum(n_keep, "ix")
+
+            # per-read survivor counts (local rows, psum over ix)
+            kc = jnp.zeros((nloc,), jnp.int32).at[
+                jnp.where(keep_f,
+                          (qidl_f // jnp.uint32(npos)).astype(jnp.int32),
+                          nloc)].add(1, mode="drop")
+            kc = jax.lax.psum(kc, "ix")
+            return (qs[None], r2s[None].astype(jnp.int32),
+                    ms[None].astype(jnp.uint16), nk_all.reshape(1), kc)
+
+        f = shard_map(
+            kernel, mesh,
+            in_specs=(P(("dp", "ix")), P(("dp", "ix")), P(("dp", "ix")),
+                      P(("dp", "ix")), P("dp"), P("dp"), P(("dp", "ix")),
+                      P("dp", None), P("dp", None), P("dp")),
+            out_specs=(P("dp", None), P("dp", None), P("dp", None),
+                       P("dp"), P("dp")))
+        return f(self.rk, self.rleft, self.rcnt, self.row_hits_cum,
+                 r0s, r1s, self.sid2, self.pfwd, self.prev, self.lengths)
+
+    # -------------------------------------------------------------- stream
 
     def stream(self, check_cont=True, download=True):
         """Survivor stream in reference discovery order: (counts [n1] int64,
         r2 int32, meta uint16) — the DeviceOverlapPipeline.stream contract."""
-        from ..ops.device_overlap import _tier
-        totals = np.asarray(self._counts_pass(check_cont))
-        cap = int(_tier(max(int(totals.max()), 1), lo=1 << 10))
-        qs, r2s, ms, nk = self._emit_pass(cap, check_cont)
-        nk = np.asarray(nk)
+        D = self.dp
+        n1, nloc = self.n1, self.nloc
+
+        # chunk planning: per-shard row windows whose ix-TOTAL candidate
+        # sums fit one per-device buffer (conservative for any ix split)
+        per_shard = self.row_tot.reshape(D, nloc)
+        cap = min(int(dov._tier(max(self.grand, 1), lo=1 << 12)),
+                  self.MAX_CAP)
+        cap = max(cap, int(per_shard.max()) if per_shard.size else 1)
+        bounds = []
+        nchunks = 1
+        for d in range(D):
+            b = [0]
+            acc = 0
+            for r in range(nloc):
+                if acc + per_shard[d, r] > cap and b[-1] != r:
+                    b.append(r)
+                    acc = 0
+                acc += per_shard[d, r]
+            b.append(nloc)
+            bounds.append(b)
+            nchunks = max(nchunks, len(b) - 1)
+        for b in bounds:                 # lockstep: pad with empty chunks
+            while len(b) - 1 < nchunks:
+                b.append(nloc)
+
+        outs = []
+        kc_total = None
+        for c in range(nchunks):
+            r0s = jnp.asarray([bounds[d][c] for d in range(D)], jnp.int32)
+            r1s = jnp.asarray([bounds[d][c + 1] for d in range(D)],
+                              jnp.int32)
+            hist = np.asarray(self._owner_hist(r0s, r1s, cap))
+            m_blk = min(int(dov._tier(max(int(hist.max()), 1), lo=1 << 8)),
+                        cap)
+            qk, r2o, mo, nk, kc = self._emit_chunk(r0s, r1s, cap, m_blk,
+                                                   check_cont)
+            outs.append((qk, r2o, mo, nk))
+            kc_total = kc if kc_total is None else kc_total + kc
+
+        n_keeps = np.asarray(jnp.stack([nk for *_, nk in outs]))
         if not download:
             return None
-        q_parts, r2_parts, m_parts = [], [], []
-        for d in range(self.dp):
-            kept = int(nk[d].sum())
-            if kept == 0:
-                continue
-            q_parts.append(np.asarray(qs[d, :kept]))
-            r2_parts.append(np.asarray(r2s[d, :kept]))
-            m_parts.append(np.asarray(ms[d, :kept]))
-        if q_parts:
-            q = np.concatenate(q_parts).astype(np.int64)
-            r2 = np.concatenate(r2_parts)
-            meta = np.concatenate(m_parts)
+
+        r2_parts, m_parts = [], []
+        for d in range(D):
+            for c in range(nchunks):
+                kept = int(n_keeps[c][d])
+                if kept == 0:
+                    continue
+                _, r2o, mo, _ = outs[c]
+                sl = min(int(dov._tier(kept, lo=1 << 10)), r2o.shape[1])
+                r2_parts.append(np.asarray(r2o[d, :sl])[:kept])
+                m_parts.append(np.asarray(mo[d, :sl])[:kept])
+        counts = np.asarray(kc_total).astype(np.int64)[:n1]
+        if r2_parts:
+            r2 = np.concatenate(r2_parts).astype(np.int32)
+            meta = np.concatenate(m_parts).astype(np.uint16)
         else:
-            q = np.zeros(0, np.int64)
             r2 = np.zeros(0, np.int32)
             meta = np.zeros(0, np.uint16)
-        counts = np.bincount(q // self.npos, minlength=self.n1)[:self.n1]
-        return counts.astype(np.int64), r2, meta
+        return counts, r2, meta

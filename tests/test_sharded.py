@@ -73,3 +73,30 @@ def test_sharded_cli_byte_equality(name, args, tmp_path):
     from test_golden import check_flow_output
     check_flow_output(name, str(tmp_path / "t__flow.output"),
                       os.path.join(GOLDEN, "out", name, "g__flow.output"))
+
+
+@pytest.mark.parametrize("dp,ix", [(4, 2)])
+def test_sharded_multichunk_matches_single_chunk(dp, ix):
+    """Forcing many row chunks (tiny per-device buffer) must not change the
+    stream: chunk windows, bounded all_gathers and the ring verify are
+    exercised across chunk boundaries."""
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.parallel.sharded import ShardedOverlapPipeline
+    from metagenomics_tpu.parallel.mesh import make_mesh
+
+    ds = Dataset([], [os.path.join(GOLDEN, "data", "se_hard.fasta")], 40,
+                 log=lambda *a, **k: None)
+    mesh = make_mesh(dp=dp, ix=ix)
+    sp = ShardedOverlapPipeline(ds, 40, mesh=mesh)
+    c0, r0, m0 = sp.stream(check_cont=True)
+
+    old = ShardedOverlapPipeline.MAX_CAP
+    try:
+        ShardedOverlapPipeline.MAX_CAP = 1 << 13
+        sp2 = ShardedOverlapPipeline(ds, 40, mesh=mesh)
+        c1, r1, m1 = sp2.stream(check_cont=True)
+    finally:
+        ShardedOverlapPipeline.MAX_CAP = old
+    assert np.array_equal(c0, c1)
+    assert np.array_equal(r0, r1)
+    assert np.array_equal(m0, m1)
