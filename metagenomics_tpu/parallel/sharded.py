@@ -4,22 +4,29 @@ This is the scaling path for the assembler's hot phase (the reference's
 single-threaded probe loop, HashTable.cpp:202-221 + OverlapGraph.cpp:
 529-565), re-expressed as a fully sharded sort-merge join:
 
-* reads are row-sharded over "dp": the raw code matrix is uploaded with a
-  ("dp", None) sharding and every per-read derivation — 2-bit packing,
-  reverse complements, window hashes, the 4-key index slice — runs under
-  shard_map on the owning shard.  Nothing about the read set is
-  replicated: no unsharded array larger than one shard exists anywhere,
-* the l-mer index is sharded by HASH RANGE over "ix": each dp shard sorts
-  its local keys, every (dp, ix) device takes its hash range's slice from
-  each shard with one all_gather over "dp" and merge-sorts them (stability
-  + shard-major concat order reproduce the reference's global bucket
-  (read id, orient) order exactly).  A hash bucket lives wholly inside one
-  range, so survivors never interleave across "ix",
-* each (dp, ix) device probes its local query block against its index
-  slice with the same stable sort-merge join as the single-device engine
-  (ops/device_overlap._probe_join structure): queries sort before their
-  equal-key index entries, prefix scans give bucket bounds, a second sort
-  compacts hit queries in (read, position) order,
+* reads are row-sharded over BOTH mesh axes: the raw code matrix is
+  uploaded with a (("dp","ix"), None) sharding and every per-read
+  derivation — 2-bit packing, reverse complements, window hashes, the
+  4-key index slice — runs exactly once somewhere on the mesh.  Nothing
+  about the read set is replicated at ingest; the only deliberately
+  ix-replicated array is each dp row's packed block (needed for r1-side
+  verification), assembled with one all_gather over "ix",
+* the l-mer index is sharded by HASH RANGE over "ix": each device sorts
+  its local keys, routes per-range slices with an all_to_all over "ix",
+  and merges the dp rows' slices with one all_gather over "dp" — concat
+  order (dp-major, then source row) + stable sort reproduce the
+  reference's global bucket (read id, orient) order exactly.  A hash
+  bucket lives wholly inside one range, so survivors never interleave
+  across "ix",
+* queries are ROUTED, not recomputed: each device extracts its row
+  slice's (hash, qid) probes once, partitions them by hash range, and an
+  all_to_all over "ix" delivers every query to the device owning its
+  range — total probe work stays flat as the ix axis grows,
+* each (dp, ix) device then runs the same stable sort-merge join as the
+  single-device engine (ops/device_overlap._probe_join structure):
+  queries sort before their equal-key index entries, prefix scans give
+  bucket bounds, a second sort compacts hit queries in global
+  (read, position) order,
 * emission is CHUNKED: row windows whose ix-summed candidate totals fit a
   fixed per-device buffer, so every all_gather buffer is bounded by the
   chunk tier, not by the dataset,
@@ -55,15 +62,30 @@ def shard_map(f, mesh, in_specs, out_specs):
 # XLA backend at import time, breaking jax.distributed.initialize ordering
 PAD_KEY = np.uint32(0xFFFFFFFF)
 SENT = np.uint32(0xFFFFFFFF)
+QPAD = np.uint32(0x7FFFFFFF)     # routed-query padding id (never a real qid)
+
+
+def _fetch_rows(arr, nrows):
+    """Row blocks of a ("dp",)-sharded array as numpy, fetched directly
+    from the addressable shards — no per-slice jit programs.  Returns a
+    list indexed by dp row (replicated ix shards collapse to one)."""
+    out = [None] * nrows
+    rows_per = None
+    for s in arr.addressable_shards:
+        idx = s.index[0] if isinstance(s.index, tuple) else s.index
+        start = idx.start or 0
+        data = np.asarray(s.data)
+        if rows_per is None:
+            rows_per = data.shape[0]
+        d = start // rows_per
+        if out[d] is None:
+            out[d] = data
+    return out, rows_per
 
 
 def _expand_window(rk, rleft, rcnt, h0, nh, cap):
     """Slice one hit window [h0, h0+nh) (sentinel-padded) and expand it:
-    per-slot hit index, local query id, index position and liveness.
-
-    Returns (qid_l, src, k, total) with qid_l the slot's LOCAL query id
-    (garbage beyond `total`), src its position in the sorted index slice.
-    """
+    per-slot global query id, index position, slot index and live total."""
     pad_q = jnp.full((cap,), SENT, jnp.uint32)
     pad_i = jnp.zeros((cap,), jnp.int32)
     qid_s = jax.lax.dynamic_slice(jnp.concatenate([rk, pad_q]), (h0,), (cap,))
@@ -82,8 +104,8 @@ def _expand_window(rk, rleft, rcnt, h0, nh, cap):
     hidx = jax.lax.cummax(seed)
     k = jnp.arange(cap, dtype=jnp.int32)
     src = k + (left_s - starts)[hidx]
-    qid_l = (qid_s[hidx] & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32)
-    return qid_l, src, k, total
+    qid = qid_s[hidx]
+    return qid, src, k, total
 
 
 class ShardedOverlapPipeline:
@@ -124,17 +146,17 @@ class ShardedOverlapPipeline:
 
         n1 = ds.codes_fwd.shape[0]
         self.n1 = n1
-        self.nloc = nloc = -(-n1 // D)
+        self.nloc2 = nloc2 = -(-n1 // (D * I))   # rows per device
+        self.nloc = nloc = nloc2 * I             # rows per dp shard
         self.n1_pad = nloc * D
-        # local query ids carry a validity bit at 2^30; global ids must fit
-        # the uint32 merge key with the 0xFFFFFFFF sentinel reserved
-        if nloc * self.npos >= 1 << 30 \
-                or self.n1_pad * self.npos >= 0xFFFFFFFF:
+        # global query ids must stay strictly below the routing pad id
+        # 0x7FFFFFFF and the join's index-tag bit 2^31
+        if self.n1_pad * self.npos >= 0x7FFFFFFF:
             raise ValueError(
-                "query id space too large (%d rows x %d positions over %d "
-                "dp shards)" % (self.n1_pad, self.npos, D))
+                "query id space too large (%d rows x %d positions)"
+                % (self.n1_pad, self.npos))
 
-        # sharded upload: each dp shard receives only its row block
+        # sharded upload: each device receives only its row slice
         pad_rows = self.n1_pad - n1
         codes_host = ds.codes_fwd
         lengths_host = ds.lengths.astype(np.int32)
@@ -143,46 +165,53 @@ class ShardedOverlapPipeline:
                 [codes_host, np.full((pad_rows, lmax), 4, np.uint8)])
             lengths_host = np.concatenate(
                 [lengths_host, np.zeros(pad_rows, np.int32)])
-        self.codes = jax.device_put(codes_host,
-                                    NamedSharding(mesh, P("dp", None)))
-        self.lengths = jax.device_put(lengths_host,
-                                      NamedSharding(mesh, P("dp")))
+        self.codes = jax.device_put(
+            codes_host, NamedSharding(mesh, P(("dp", "ix"), None)))
+        self.lengths_sl = jax.device_put(
+            lengths_host, NamedSharding(mesh, P(("dp", "ix"))))
 
-        # stage 1: per-shard setup (replicated over "ix" — same wall time
-        # as a dp-only mesh, no cross-ix traffic)
-        (self.pfwd, self.prev, self.hf, self.keys_l, self.id_l,
-         blocksizes) = self._setup()
+        # stage 1: per-slice setup (each read processed exactly once)
+        (self.pslice_f, self.pslice_r, self.hf_sl, self.keys_l, self.id_l,
+         qcnt, icnt) = self._setup()
+        self.cap_q = int(dov._tier(
+            max(int(np.asarray(qcnt).max()), 1), lo=1 << 8))
         self.cap_blk = int(dov._tier(
-            max(int(np.asarray(blocksizes).max()), 1), lo=1 << 8))
+            max(int(np.asarray(icnt).max()), 1), lo=1 << 8))
 
-        # stages 2+3: index range exchange + local sort-merge probe join
-        (self.sid2, self.rk, self.rleft, self.rcnt, self.row_hits_cum,
-         row_tot, grand_parts) = self._probe(self.cap_blk)
+        # stages 2+3: query + index routing, probe join, block assembly
+        (self.pfwd, self.prev, self.lengths, self.sid2, self.rk,
+         self.rleft, self.rcnt, self.row_hits_cum, row_tot,
+         grand_parts) = self._probe(self.cap_q, self.cap_blk)
         self.row_tot = np.asarray(row_tot).astype(np.int64)
-        self.grand = int(np.asarray(grand_parts).sum(dtype=np.int64))
+        parts = np.asarray(grand_parts).astype(np.int64)
+        self.dev_tot = parts.sum(axis=1)           # per-device candidates
+        self.grand = int(self.dev_tot.sum())
 
     # ------------------------------------------------------------- stage 1
 
     def _setup(self):
         mesh, I = self.mesh, self.ix
-        hash_len, w, wp, nloc, npos = (self.hash_len, self.w, self.wp,
-                                       self.nloc, self.npos)
+        hash_len, w, wp, nloc2, npos = (self.hash_len, self.w, self.wp,
+                                        self.nloc2, self.npos)
+        nloc = self.nloc
         rbits = (I - 1).bit_length()           # range id = key >> (32-rbits)
 
         def kernel(codes_u8, lengths):
             codes_fwd = (codes_u8 & 3).astype(jnp.uint8)
             codes_rev = dov._rc_codes(codes_fwd, lengths)
             pad = ((0, 0), (0, wp - w))
-            pfwd = jnp.pad(dov._pack_codes_device(codes_fwd, w), pad)
-            prev = jnp.pad(dov._pack_codes_device(codes_rev, w), pad)
+            pf = jnp.pad(dov._pack_codes_device(codes_fwd, w), pad)
+            pr = jnp.pad(dov._pack_codes_device(codes_rev, w), pad)
             hf = dov.window_hashes_u32(codes_fwd, hash_len)
             hr = dov.window_hashes_u32(codes_rev, hash_len)
 
             # 4-key local index with GLOBAL read ids; zero-length rows
-            # (the global dummy row 0 and dp padding) become inert PAD
+            # (the global dummy row 0 and padding) become inert PAD
             # entries with identry 0 (rejected at verification: length 0)
             d = jax.lax.axis_index("dp")
-            rows_g = d * nloc + jnp.arange(nloc, dtype=jnp.int32)
+            i = jax.lax.axis_index("ix")
+            row0 = d * nloc + i * nloc2
+            rows_g = row0 + jnp.arange(nloc2, dtype=jnp.int32)
             real = lengths > hash_len
             suf = jnp.clip(lengths - hash_len, 0, npos - 1).astype(jnp.int32)
             k0 = hf[:, 0]
@@ -193,79 +222,129 @@ class ShardedOverlapPipeline:
             keys = jnp.where(real[:, None], keys, jnp.uint32(PAD_KEY))
             keys = keys.reshape(-1)
             rid = jnp.repeat(rows_g.astype(jnp.uint32), 4)
-            orient = jnp.tile(jnp.arange(4, dtype=jnp.uint32), nloc)
+            orient = jnp.tile(jnp.arange(4, dtype=jnp.uint32), nloc2)
             identry = jnp.where(jnp.repeat(real, 4),
                                 (rid << 2) | orient, jnp.uint32(0))
             sk, sid = jax.lax.sort((keys, identry), num_keys=1,
                                    is_stable=True)
-            # per-range block sizes of this shard's sorted keys
+
+            # per-range histograms for the routing buffer tiers
             if rbits:
-                rng = (sk >> jnp.uint32(32 - rbits)).astype(jnp.int32)
-                bs = jnp.zeros((I,), jnp.int32).at[rng].add(1, mode="drop")
+                irng = (sk >> jnp.uint32(32 - rbits)).astype(jnp.int32)
+                icnt = jnp.zeros((I,), jnp.int32).at[irng].add(1,
+                                                              mode="drop")
+                q = hf.reshape(-1)
+                jj = jnp.arange(npos, dtype=jnp.int32)[None, :]
+                valid = ((jj >= 1) & (jj < (lengths[:, None] - hash_len))
+                         ).reshape(-1)
+                qrng = jnp.where(
+                    valid, (q >> jnp.uint32(32 - rbits)).astype(jnp.int32),
+                    I)
+                qcnt = jnp.zeros((I,), jnp.int32).at[qrng].add(1,
+                                                              mode="drop")
             else:
-                bs = jnp.array([sk.shape[0]], jnp.int32)
-            return pfwd, prev, hf, sk, sid, bs[None, :]
+                icnt = jnp.array([sk.shape[0]], jnp.int32)
+                jj = jnp.arange(npos, dtype=jnp.int32)[None, :]
+                valid = ((jj >= 1) & (jj < (lengths[:, None] - hash_len)))
+                qcnt = valid.sum(dtype=jnp.int32).reshape(1)
+            return pf, pr, hf, sk, sid, qcnt[None], icnt[None]
 
         f = shard_map(kernel, mesh,
-                      in_specs=(P("dp", None), P("dp")),
-                      out_specs=(P("dp", None), P("dp", None),
-                                 P("dp", None), P("dp"), P("dp"),
-                                 P("dp", None)))
-        return jax.jit(f)(self.codes, self.lengths)
+                      in_specs=(P(("dp", "ix"), None), P(("dp", "ix"))),
+                      out_specs=(P(("dp", "ix"), None),
+                                 P(("dp", "ix"), None),
+                                 P(("dp", "ix"), None),
+                                 P(("dp", "ix")), P(("dp", "ix")),
+                                 P(("dp", "ix"), None),
+                                 P(("dp", "ix"), None)))
+        return jax.jit(f)(self.codes, self.lengths_sl)
 
     # --------------------------------------------------------- stages 2+3
 
-    @partial(jax.jit, static_argnames=("self", "cap_blk"))
-    def _probe(self, cap_blk):
+    @partial(jax.jit, static_argnames=("self", "cap_q", "cap_blk"))
+    def _probe(self, cap_q, cap_blk):
         mesh, D, I = self.mesh, self.dp, self.ix
-        hash_len, nloc, npos = self.hash_len, self.nloc, self.npos
+        hash_len, nloc2, nloc, npos = (self.hash_len, self.nloc2,
+                                       self.nloc, self.npos)
         rbits = (I - 1).bit_length()
-        m_loc = 4 * nloc
-        q_loc = nloc * npos
-        sl = min(cap_blk, m_loc)
+        v_loc = I * cap_q + D * I * cap_blk
         # blocked partial sums keep int32 accumulators exact (finished in
         # int64 on the host)
-        sum_block = 1 << max(3, min(12, 29 - max(m_loc * D, 1).bit_length()))
+        sum_block = 1 << max(3, min(
+            12, 29 - max(4 * self.n1_pad, 1).bit_length()))
 
-        def kernel(keys_l, id_l, hf, lengths):
+        def _range_blocks(rank_sorted, keys_sorted, payload, cap,
+                          pad_payload):
+            """[I, cap] per-range blocks of rank-sorted arrays (block r =
+            entries with rank r; entries ranked >= I are never emitted)."""
+            off = jnp.searchsorted(
+                rank_sorted,
+                jnp.arange(I + 1, dtype=rank_sorted.dtype)).astype(
+                jnp.int32)
+            ks, ps = [], []
+            kpad = jnp.full((cap,), PAD_KEY, jnp.uint32)
+            ppad = jnp.full((cap,), pad_payload, jnp.uint32)
+            key_ext = jnp.concatenate([keys_sorted, kpad])
+            pay_ext = jnp.concatenate([payload, ppad])
+            for r in range(I):
+                kb = jax.lax.dynamic_slice(key_ext, (off[r],), (cap,))
+                pb = jax.lax.dynamic_slice(pay_ext, (off[r],), (cap,))
+                live = jnp.arange(cap, dtype=jnp.int32) < (off[r + 1]
+                                                           - off[r])
+                ks.append(jnp.where(live, kb, jnp.uint32(PAD_KEY)))
+                ps.append(jnp.where(live, pb, jnp.uint32(pad_payload)))
+            return jnp.stack(ks), jnp.stack(ps)
+
+        def kernel(pf, pr, hf, lengths, keys_l, id_l):
+            d = jax.lax.axis_index("dp")
             i = jax.lax.axis_index("ix")
-            # ---- own hash range's slice of this dp shard's index -------
-            if rbits:
-                lo = i.astype(jnp.uint32) << jnp.uint32(32 - rbits)
-                start = jnp.searchsorted(keys_l, lo, side="left")
-                start = jnp.minimum(start.astype(jnp.int32),
-                                    jnp.int32(m_loc - sl))
-                blk_k = jax.lax.dynamic_slice(keys_l, (start,), (sl,))
-                blk_i = jax.lax.dynamic_slice(id_l, (start,), (sl,))
-                in_rng = (blk_k >> jnp.uint32(32 - rbits)).astype(
-                    jnp.int32) == i
-                blk_k = jnp.where(in_rng, blk_k, jnp.uint32(PAD_KEY))
-                blk_i = jnp.where(in_rng, blk_i, jnp.uint32(0))
-            else:
-                blk_k, blk_i = keys_l, id_l
-            if cap_blk > sl:
-                blk_k = jnp.concatenate(
-                    [blk_k, jnp.full((cap_blk - sl,), PAD_KEY, jnp.uint32)])
-                blk_i = jnp.concatenate(
-                    [blk_i, jnp.zeros((cap_blk - sl,), jnp.uint32)])
-            # ---- merge the D shard slices (shard-major concat + stable
-            # sort = the reference's global bucket (rid, orient) order) ---
-            gk = jax.lax.all_gather(blk_k, "dp").reshape(-1)
-            gi = jax.lax.all_gather(blk_i, "dp").reshape(-1)
-            sk, sid = jax.lax.sort((gk, gi), num_keys=1, is_stable=True)
+            row0 = d * nloc + i * nloc2
 
-            # ---- sort-merge join of the local query block --------------
+            # ---- assemble this dp row's packed block + lengths ---------
+            pfwd = jax.lax.all_gather(pf, "ix").reshape(-1, pf.shape[1])
+            prev = jax.lax.all_gather(pr, "ix").reshape(-1, pr.shape[1])
+            len_blk = jax.lax.all_gather(lengths, "ix").reshape(-1)
+
+            # ---- route queries to their hash range's owner -------------
             q = hf.reshape(-1)
             jj = jnp.arange(npos, dtype=jnp.int32)[None, :]
             valid = ((jj >= 1) & (jj < (lengths[:, None] - hash_len))
                      ).reshape(-1)
-            qid = jnp.arange(q_loc, dtype=jnp.uint32)
-            pq = qid | jnp.where(valid, jnp.uint32(0),
-                                 jnp.uint32(0x40000000))
+            qid = (row0 * npos
+                   + jnp.arange(nloc2 * npos, dtype=jnp.int32)).astype(
+                jnp.uint32)
+            if rbits:
+                qrank = jnp.where(
+                    valid, (q >> jnp.uint32(32 - rbits)).astype(jnp.int32),
+                    I)
+            else:
+                qrank = jnp.where(valid, 0, I)
+            qsr, qskey, qsid = jax.lax.sort(
+                (qrank, q, jnp.where(valid, qid, jnp.uint32(QPAD))),
+                num_keys=1, is_stable=True)
+            qblk_k, qblk_id = _range_blocks(qsr, qskey, qsid, cap_q, QPAD)
+            qr_k = jax.lax.all_to_all(qblk_k, "ix", 0, 0,
+                                      tiled=False).reshape(-1)
+            qr_id = jax.lax.all_to_all(qblk_id, "ix", 0, 0,
+                                       tiled=False).reshape(-1)
+
+            # ---- route + merge the index range slices ------------------
+            if rbits:
+                irank = (keys_l >> jnp.uint32(32 - rbits)).astype(jnp.int32)
+            else:
+                irank = jnp.zeros_like(keys_l, jnp.int32)
+            iblk_k, iblk_id = _range_blocks(irank, keys_l, id_l, cap_blk, 0)
+            ir_k = jax.lax.all_to_all(iblk_k, "ix", 0, 0, tiled=False)
+            ir_id = jax.lax.all_to_all(iblk_id, "ix", 0, 0, tiled=False)
+            gk = jax.lax.all_gather(ir_k.reshape(-1), "dp").reshape(-1)
+            gi = jax.lax.all_gather(ir_id.reshape(-1), "dp").reshape(-1)
+            sk, sid = jax.lax.sort((gk, gi), num_keys=1, is_stable=True)
+
+            # ---- sort-merge join (queries before equal-key entries) ----
             pi = jnp.uint32(0x80000000) | jnp.arange(
-                D * cap_blk, dtype=jnp.uint32)
+                sk.shape[0], dtype=jnp.uint32)
             kv, pv = jax.lax.sort(
-                (jnp.concatenate([q, sk]), jnp.concatenate([pq, pi])),
+                (jnp.concatenate([qr_k, sk]), jnp.concatenate([qr_id, pi])),
                 num_keys=1, is_stable=True)
             tag = (pv >> 31).astype(jnp.int32)
             u = jnp.cumsum(tag, dtype=jnp.int32)
@@ -275,25 +354,25 @@ class ShardedOverlapPipeline:
             ub = jnp.flip(jax.lax.cummin(jnp.flip(
                 jnp.where(is_last, u, jnp.int32(0x7FFFFFFF)))))
             cnt = ub - left
-            is_query = tag == 0
-            hit = is_query & (cnt > 0) & \
-                ((pv & jnp.uint32(0x40000000)) == 0)
-            rkey = jnp.where(hit, pv & jnp.uint32(0x3FFFFFFF),
-                             jnp.uint32(SENT))
+            hit = (tag == 0) & (cnt > 0) & (pv != jnp.uint32(QPAD))
+            rkey = jnp.where(hit, pv, jnp.uint32(SENT))
             rk, rleft, rcnt = jax.lax.sort((rkey, left, cnt), num_keys=1,
                                            is_stable=True)
 
-            # per-local-row hit offsets (device) + ix-total candidate sums
+            # per-row hit offsets (dp-block-local rows) + candidate sums
             vsz = rk.shape[0]
             h_total = hit.sum(dtype=jnp.int32)
             isq = jnp.arange(vsz, dtype=jnp.int32) < h_total
-            row = jnp.where(isq, (rk // jnp.uint32(npos)).astype(jnp.int32),
-                            nloc)
+            row = jnp.where(
+                isq,
+                (rk // jnp.uint32(npos)).astype(jnp.int32) - d * nloc,
+                nloc)
             cq = jnp.where(isq, rcnt, 0)
-            row_hits = jnp.zeros((nloc,), jnp.int32).at[row].add(
+            row_hits = jnp.zeros((nloc,), jnp.int32).at[
+                jnp.clip(row, 0, nloc)].add(
                 jnp.where(isq, 1, 0), mode="drop")
-            row_tot = jnp.zeros((nloc,), jnp.int32).at[row].add(
-                cq, mode="drop")
+            row_tot = jnp.zeros((nloc,), jnp.int32).at[
+                jnp.clip(row, 0, nloc)].add(cq, mode="drop")
             row_hits_cum = jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_hits)])
             row_tot_all = jax.lax.psum(row_tot, "ix")
@@ -301,16 +380,21 @@ class ShardedOverlapPipeline:
             vp = -vsz % sum_block
             parts = jnp.pad(cq, (0, vp)).reshape(-1, sum_block).sum(
                 axis=1, dtype=jnp.int32)
-            return (sid[None], rk[None], rleft[None], rcnt[None],
-                    row_hits_cum[None], row_tot_all, parts[None])
+            return (pfwd, prev, len_blk, sid[None], rk[None], rleft[None],
+                    rcnt[None], row_hits_cum[None], row_tot_all,
+                    parts[None])
 
         f = shard_map(
             kernel, mesh,
-            in_specs=(P("dp"), P("dp"), P("dp", None), P("dp")),
-            out_specs=(P(("dp", "ix")), P(("dp", "ix")), P(("dp", "ix")),
+            in_specs=(P(("dp", "ix"), None), P(("dp", "ix"), None),
+                      P(("dp", "ix"), None), P(("dp", "ix")),
+                      P(("dp", "ix")), P(("dp", "ix"))),
+            out_specs=(P("dp", None), P("dp", None), P("dp"),
+                       P(("dp", "ix")), P(("dp", "ix")), P(("dp", "ix")),
                        P(("dp", "ix")), P(("dp", "ix")), P("dp"),
                        P(("dp", "ix"))))
-        return f(self.keys_l, self.id_l, self.hf, self.lengths)
+        return f(self.pslice_f, self.pslice_r, self.hf_sl, self.lengths_sl,
+                 self.keys_l, self.id_l)
 
     # ------------------------------------------------------------ prepass
 
@@ -356,13 +440,14 @@ class ShardedOverlapPipeline:
             d_my = jax.lax.axis_index("dp")
             h0 = hcum[r0[0]]
             nh = hcum[r1[0]] - h0
-            qid_l, src, k, total = _expand_window(rk, rleft, rcnt, h0, nh,
-                                                  cap)
+            qid, src, k, total = _expand_window(rk, rleft, rcnt, h0, nh,
+                                                cap)
             e = sid[jnp.clip(src, 0, sid.shape[0] - 1)]
             r2 = (e >> 2).astype(jnp.int32)
             orient = (e & 3).astype(jnp.int32)
-            r1loc = jnp.clip(qid_l // npos, 0, nloc - 1)
-            j = qid_l - (qid_l // npos) * npos
+            qid_i = qid.astype(jnp.int32) & jnp.int32(0x7FFFFFFF)
+            r1loc = jnp.clip(qid_i // npos - d_my * nloc, 0, nloc - 1)
+            j = qid_i - (qid_i // npos) * npos
             len1 = lengths[r1loc]
             in_range = k < total
 
@@ -375,8 +460,8 @@ class ShardedOverlapPipeline:
                      | (orient.astype(jnp.uint32) << 24))
             so, sslot, sr2, sm1, sr1loc, sqid = jax.lax.sort(
                 (owner, k.astype(jnp.uint32), r2.astype(jnp.uint32), meta1,
-                 r1loc.astype(jnp.uint32),
-                 qid_l.astype(jnp.uint32)), num_keys=2, is_stable=False)
+                 r1loc.astype(jnp.uint32), qid), num_keys=2,
+                is_stable=False)
             off = jnp.searchsorted(
                 so, jnp.arange(D + 1, dtype=jnp.uint32)).astype(jnp.int32)
             rows1_all = pfwd[sr1loc.astype(jnp.int32)]
@@ -418,15 +503,13 @@ class ShardedOverlapPipeline:
 
             keep_f = jnp.concatenate([b[0] for b in blks])
             slot_f = jnp.concatenate([b[1] for b in blks])
-            qidl_f = jnp.concatenate([b[2] for b in blks])
+            qid_f = jnp.concatenate([b[2] for b in blks])
             r2_f = jnp.concatenate([b[3] for b in blks])
             meta_f = jnp.concatenate([b[4] for b in blks])
             n_keep = keep_f.sum(dtype=jnp.int32)
 
             # compaction + slot order (= qid asc, bucket order) in one sort
-            base = (jnp.uint32(d_my) * jnp.uint32(nloc)
-                    * jnp.uint32(npos))
-            qkey_f = jnp.where(keep_f, base + qidl_f, jnp.uint32(SENT))
+            qkey_f = jnp.where(keep_f, qid_f, jnp.uint32(SENT))
             skey = jnp.where(keep_f, slot_f, jnp.uint32(SENT))
             _, qo, r2o, mo = jax.lax.sort(
                 (skey, qkey_f, r2_f.astype(jnp.uint32), meta_f),
@@ -448,11 +531,12 @@ class ShardedOverlapPipeline:
                                        is_stable=True)
             nk_all = jax.lax.psum(n_keep, "ix")
 
-            # per-read survivor counts (local rows, psum over ix)
+            # per-read survivor counts (dp-block-local rows, psum over ix)
+            krow = (qid_f.astype(jnp.int32)
+                    // npos) - d_my * nloc
             kc = jnp.zeros((nloc,), jnp.int32).at[
-                jnp.where(keep_f,
-                          (qidl_f // jnp.uint32(npos)).astype(jnp.int32),
-                          nloc)].add(1, mode="drop")
+                jnp.where(keep_f, jnp.clip(krow, 0, nloc), nloc)].add(
+                1, mode="drop")
             kc = jax.lax.psum(kc, "ix")
             return (qs[None], r2s[None].astype(jnp.int32),
                     ms[None].astype(jnp.uint16), nk_all.reshape(1), kc)
@@ -475,28 +559,37 @@ class ShardedOverlapPipeline:
         D = self.dp
         n1, nloc = self.n1, self.nloc
 
-        # chunk planning: per-shard row windows whose ix-TOTAL candidate
-        # sums fit one per-device buffer (conservative for any ix split)
+        # chunk planning.  Single-chunk fast path: buffers sized to the
+        # LARGEST PER-DEVICE candidate total (cheap at high ix, where each
+        # device holds ~1/(dp*ix) of the candidates).  Multi-chunk path:
+        # per-shard row windows whose ix-TOTAL sums fit one buffer
+        # (conservative bound on any device's share).
+        dev_max = int(self.dev_tot.max()) if self.dev_tot.size else 1
         per_shard = self.row_tot.reshape(D, nloc)
-        cap = min(int(dov._tier(max(self.grand, 1), lo=1 << 12)),
-                  self.MAX_CAP)
-        cap = max(cap, int(per_shard.max()) if per_shard.size else 1)
-        bounds = []
-        nchunks = 1
-        for d in range(D):
-            b = [0]
-            acc = 0
-            for r in range(nloc):
-                if acc + per_shard[d, r] > cap and b[-1] != r:
-                    b.append(r)
-                    acc = 0
-                acc += per_shard[d, r]
-            b.append(nloc)
-            bounds.append(b)
-            nchunks = max(nchunks, len(b) - 1)
-        for b in bounds:                 # lockstep: pad with empty chunks
-            while len(b) - 1 < nchunks:
+        if dev_max <= self.MAX_CAP:
+            cap = int(dov._tier(max(dev_max, 1), lo=1 << 12))
+            bounds = [[0, nloc] for _ in range(D)]
+            nchunks = 1
+        else:
+            cap = min(int(dov._tier(max(self.grand, 1), lo=1 << 12)),
+                      self.MAX_CAP)
+            cap = max(cap, int(per_shard.max()) if per_shard.size else 1)
+            bounds = []
+            nchunks = 1
+            for d in range(D):
+                b = [0]
+                acc = 0
+                for r in range(nloc):
+                    if acc + per_shard[d, r] > cap and b[-1] != r:
+                        b.append(r)
+                        acc = 0
+                    acc += per_shard[d, r]
                 b.append(nloc)
+                bounds.append(b)
+                nchunks = max(nchunks, len(b) - 1)
+            for b in bounds:             # lockstep: pad with empty chunks
+                while len(b) - 1 < nchunks:
+                    b.append(nloc)
 
         outs = []
         kc_total = None
@@ -512,21 +605,29 @@ class ShardedOverlapPipeline:
             outs.append((qk, r2o, mo, nk))
             kc_total = kc if kc_total is None else kc_total + kc
 
-        n_keeps = np.asarray(jnp.stack([nk for *_, nk in outs]))
+        # shard-direct fetches (no per-slice jit programs); the whole
+        # per-chunk buffer crosses per shard — bounded by the chunk tier
+        n_keeps = []
+        for *_, nk in outs:
+            rows, _ = _fetch_rows(nk, D)
+            n_keeps.append([int(r[0]) for r in rows])
         if not download:
             return None
 
         r2_parts, m_parts = [], []
+        fetched = []
+        for c in range(nchunks):
+            _, r2o, mo, _ = outs[c]
+            fetched.append((_fetch_rows(r2o, D)[0], _fetch_rows(mo, D)[0]))
         for d in range(D):
             for c in range(nchunks):
-                kept = int(n_keeps[c][d])
+                kept = n_keeps[c][d]
                 if kept == 0:
                     continue
-                _, r2o, mo, _ = outs[c]
-                sl = min(int(dov._tier(kept, lo=1 << 10)), r2o.shape[1])
-                r2_parts.append(np.asarray(r2o[d, :sl])[:kept])
-                m_parts.append(np.asarray(mo[d, :sl])[:kept])
-        counts = np.asarray(kc_total).astype(np.int64)[:n1]
+                r2_parts.append(fetched[c][0][d].reshape(-1)[:kept])
+                m_parts.append(fetched[c][1][d].reshape(-1)[:kept])
+        kcrows, _ = _fetch_rows(kc_total, D)
+        counts = np.concatenate(kcrows).astype(np.int64)[:n1]
         if r2_parts:
             r2 = np.concatenate(r2_parts).astype(np.int32)
             meta = np.concatenate(m_parts).astype(np.uint16)
