@@ -165,27 +165,54 @@ class ShardedOverlapPipeline:
                 [codes_host, np.full((pad_rows, lmax), 4, np.uint8)])
             lengths_host = np.concatenate(
                 [lengths_host, np.zeros(pad_rows, np.int32)])
-        self.codes = jax.device_put(
-            codes_host, NamedSharding(mesh, P(("dp", "ix"), None)))
-        self.lengths_sl = jax.device_put(
-            lengths_host, NamedSharding(mesh, P(("dp", "ix"))))
+        # make_array_from_callback materializes only the addressable
+        # shards, so this works unchanged under a multi-process runtime
+        # where the mesh spans hosts (each process loads the dataset and
+        # donates its row slices)
+        self.codes = jax.make_array_from_callback(
+            codes_host.shape, NamedSharding(mesh, P(("dp", "ix"), None)),
+            lambda idx: codes_host[idx])
+        self.lengths_sl = jax.make_array_from_callback(
+            lengths_host.shape, NamedSharding(mesh, P(("dp", "ix"))),
+            lambda idx: lengths_host[idx])
 
         # stage 1: per-slice setup (each read processed exactly once)
         (self.pslice_f, self.pslice_r, self.hf_sl, self.keys_l, self.id_l,
          qcnt, icnt) = self._setup()
         self.cap_q = int(dov._tier(
-            max(int(np.asarray(qcnt).max()), 1), lo=1 << 8))
+            max(int(self._np(qcnt).max()), 1), lo=1 << 8))
         self.cap_blk = int(dov._tier(
-            max(int(np.asarray(icnt).max()), 1), lo=1 << 8))
+            max(int(self._np(icnt).max()), 1), lo=1 << 8))
 
         # stages 2+3: query + index routing, probe join, block assembly
         (self.pfwd, self.prev, self.lengths, self.sid2, self.rk,
          self.rleft, self.rcnt, self.row_hits_cum, row_tot,
-         grand_parts) = self._probe(self.cap_q, self.cap_blk)
-        self.row_tot = np.asarray(row_tot).astype(np.int64)
-        parts = np.asarray(grand_parts).astype(np.int64)
+         grand_parts) = self._probe(
+            self.cap_q, self.cap_blk, self.pslice_f, self.pslice_r,
+            self.hf_sl, self.lengths_sl, self.keys_l, self.id_l)
+        self.row_tot = self._np(row_tot).astype(np.int64)
+        parts = self._np(grand_parts).astype(np.int64)
         self.dev_tot = parts.sum(axis=1)           # per-device candidates
         self.grand = int(self.dev_tot.sum())
+
+    def _np(self, arr):
+        """Global array -> host numpy.  Single-process: direct.  Multi-
+        process: reshard to fully-replicated first (a cross-host
+        all_gather), then read the local copy."""
+        if jax.process_count() > 1:
+            ns = NamedSharding(self.mesh, P(*([None] * arr.ndim)))
+            arr = jax.jit(lambda x: x, out_shardings=ns)(arr)
+            return np.asarray(arr.addressable_shards[0].data)
+        return np.asarray(arr)
+
+    def _rows(self, arr, nrows):
+        """Row blocks of a ("dp",)-sharded array as numpy, one per dp
+        shard, working under both single- and multi-process runtimes."""
+        if jax.process_count() > 1:
+            full = self._np(arr)
+            per = full.shape[0] // nrows
+            return [full[d * per:(d + 1) * per] for d in range(nrows)]
+        return _fetch_rows(arr, nrows)[0]
 
     # ------------------------------------------------------------- stage 1
 
@@ -262,7 +289,11 @@ class ShardedOverlapPipeline:
     # --------------------------------------------------------- stages 2+3
 
     @partial(jax.jit, static_argnames=("self", "cap_q", "cap_blk"))
-    def _probe(self, cap_q, cap_blk):
+    def _probe(self, cap_q, cap_blk, pslice_f, pslice_r, hf_sl,
+               lengths_sl, keys_l, id_l):
+        # global arrays arrive as jit ARGUMENTS (never closures: a closed-
+        # over array would be embedded as a constant, which recompiles per
+        # instance and is illegal for multi-host global arrays)
         mesh, D, I = self.mesh, self.dp, self.ix
         hash_len, nloc2, nloc, npos = (self.hash_len, self.nloc2,
                                        self.nloc, self.npos)
@@ -393,13 +424,13 @@ class ShardedOverlapPipeline:
                        P(("dp", "ix")), P(("dp", "ix")), P(("dp", "ix")),
                        P(("dp", "ix")), P(("dp", "ix")), P("dp"),
                        P(("dp", "ix"))))
-        return f(self.pslice_f, self.pslice_r, self.hf_sl, self.lengths_sl,
-                 self.keys_l, self.id_l)
+        return f(pslice_f, pslice_r, hf_sl, lengths_sl, keys_l, id_l)
 
     # ------------------------------------------------------------ prepass
 
     @partial(jax.jit, static_argnames=("self", "cap"))
-    def _owner_hist(self, r0s, r1s, cap):
+    def _owner_hist(self, r0s, r1s, cap, rk_a, rleft_a, rcnt_a, hcum_a,
+                    sid_a):
         """Largest per-owner candidate block of one chunk, per device —
         sizes the static ring-round slice M_blk (host takes the max)."""
         mesh, D = self.mesh, self.dp
@@ -423,13 +454,13 @@ class ShardedOverlapPipeline:
             in_specs=(P(("dp", "ix")), P(("dp", "ix")), P(("dp", "ix")),
                       P(("dp", "ix")), P("dp"), P("dp"), P(("dp", "ix"))),
             out_specs=P("dp", "ix"))
-        return f(self.rk, self.rleft, self.rcnt, self.row_hits_cum,
-                 r0s, r1s, self.sid2)
+        return f(rk_a, rleft_a, rcnt_a, hcum_a, r0s, r1s, sid_a)
 
     # --------------------------------------------------------------- emit
 
     @partial(jax.jit, static_argnames=("self", "cap", "m_blk", "cc"))
-    def _emit_chunk(self, r0s, r1s, cap, m_blk, cc):
+    def _emit_chunk(self, r0s, r1s, cap, m_blk, cc, rk_a, rleft_a, rcnt_a,
+                    hcum_a, sid_a, pfwd_a, prev_a, lengths_a):
         mesh, D = self.mesh, self.dp
         nloc, npos, w = self.nloc, self.npos, self.w
         hash_len, qw_max = self.hash_len, self.qw_max
@@ -548,8 +579,8 @@ class ShardedOverlapPipeline:
                       P("dp", None), P("dp", None), P("dp")),
             out_specs=(P("dp", None), P("dp", None), P("dp", None),
                        P("dp"), P("dp")))
-        return f(self.rk, self.rleft, self.rcnt, self.row_hits_cum,
-                 r0s, r1s, self.sid2, self.pfwd, self.prev, self.lengths)
+        return f(rk_a, rleft_a, rcnt_a, hcum_a, r0s, r1s, sid_a,
+                 pfwd_a, prev_a, lengths_a)
 
     # -------------------------------------------------------------- stream
 
@@ -594,14 +625,20 @@ class ShardedOverlapPipeline:
         outs = []
         kc_total = None
         for c in range(nchunks):
-            r0s = jnp.asarray([bounds[d][c] for d in range(D)], jnp.int32)
-            r1s = jnp.asarray([bounds[d][c + 1] for d in range(D)],
-                              jnp.int32)
-            hist = np.asarray(self._owner_hist(r0s, r1s, cap))
+            # numpy on purpose: identical on every process, so the jit
+            # treats it as a replicated input under multi-controller runs
+            r0s = np.asarray([bounds[d][c] for d in range(D)], np.int32)
+            r1s = np.asarray([bounds[d][c + 1] for d in range(D)],
+                             np.int32)
+            hist = self._np(self._owner_hist(
+                r0s, r1s, cap, self.rk, self.rleft, self.rcnt,
+                self.row_hits_cum, self.sid2))
             m_blk = min(int(dov._tier(max(int(hist.max()), 1), lo=1 << 8)),
                         cap)
-            qk, r2o, mo, nk, kc = self._emit_chunk(r0s, r1s, cap, m_blk,
-                                                   check_cont)
+            qk, r2o, mo, nk, kc = self._emit_chunk(
+                r0s, r1s, cap, m_blk, check_cont, self.rk, self.rleft,
+                self.rcnt, self.row_hits_cum, self.sid2, self.pfwd,
+                self.prev, self.lengths)
             outs.append((qk, r2o, mo, nk))
             kc_total = kc if kc_total is None else kc_total + kc
 
@@ -609,8 +646,7 @@ class ShardedOverlapPipeline:
         # per-chunk buffer crosses per shard — bounded by the chunk tier
         n_keeps = []
         for *_, nk in outs:
-            rows, _ = _fetch_rows(nk, D)
-            n_keeps.append([int(r[0]) for r in rows])
+            n_keeps.append([int(r[0]) for r in self._rows(nk, D)])
         if not download:
             return None
 
@@ -618,7 +654,7 @@ class ShardedOverlapPipeline:
         fetched = []
         for c in range(nchunks):
             _, r2o, mo, _ = outs[c]
-            fetched.append((_fetch_rows(r2o, D)[0], _fetch_rows(mo, D)[0]))
+            fetched.append((self._rows(r2o, D), self._rows(mo, D)))
         for d in range(D):
             for c in range(nchunks):
                 kept = n_keeps[c][d]
@@ -626,8 +662,8 @@ class ShardedOverlapPipeline:
                     continue
                 r2_parts.append(fetched[c][0][d].reshape(-1)[:kept])
                 m_parts.append(fetched[c][1][d].reshape(-1)[:kept])
-        kcrows, _ = _fetch_rows(kc_total, D)
-        counts = np.concatenate(kcrows).astype(np.int64)[:n1]
+        counts = np.concatenate(self._rows(kc_total, D)).astype(
+            np.int64)[:n1]
         if r2_parts:
             r2 = np.concatenate(r2_parts).astype(np.int32)
             meta = np.concatenate(m_parts).astype(np.uint16)

@@ -64,3 +64,54 @@ def test_two_process_distributed(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, "rank %d:\n%s" % (rank, out[-3000:])
         assert "DIST_OK %d" % rank in out
+
+
+def test_two_process_full_pipeline(tmp_path):
+    """The FULL assembler CLI across 2 processes on one global mesh: both
+    ranks join one jax.distributed runtime, run the sharded engine over a
+    dp=2 mesh spanning the processes, and every staged artifact from each
+    rank must byte-match the golden reference outputs."""
+    golden = os.path.join(REPO, "golden")
+    artifacts = [
+        "_sortedReads.fasta", ".unitig", "_flow.input",
+        "graph1.gdl", "contigs1.fasta", "graph2.gdl", "contigs2.fasta",
+        "graph3.gdl", "contigs3.fasta", "graph4.gdl", "contigs4.fasta",
+    ]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MGTPU_COORDINATOR"] = "127.0.0.1:%d" % port
+        env["MGTPU_NUM_PROCESSES"] = "2"
+        env["MGTPU_PROCESS_ID"] = str(rank)
+        env["MGTPU_OVERLAP_ENGINE"] = "sharded"
+        env.pop("XLA_FLAGS", None)   # 1 CPU device per process -> dp=2
+        rankdir = tmp_path / ("rank%d" % rank)
+        rankdir.mkdir()
+        procs.append((rankdir, subprocess.Popen(
+            [sys.executable, "-m", "metagenomics_tpu.cli",
+             "-se", "1", os.path.join(golden, "data", "se_small.fasta"),
+             "-f", "t_", "-l", "40"],
+            env=env, cwd=rankdir,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)))
+    outs = []
+    for _, p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for _, q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for rank, ((rankdir, p), out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, "rank %d:\n%s" % (rank, out[-3000:])
+        for art in artifacts:
+            got = (rankdir / ("t_" + art)).read_bytes()
+            want = open(os.path.join(golden, "out", "se_small",
+                                     "g_" + art), "rb").read()
+            assert got == want, \
+                "rank %d artifact mismatch: %s" % (rank, art)
