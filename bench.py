@@ -83,6 +83,265 @@ def gen_bench_data():
         f.write(buf.getvalue())
 
 
+# ---------------------------------------------------------------- late-phase
+# repeat-dense paired-end dataset (>=100k reads) on which the late pipeline
+# stages (flow, mate-pair merging, scaffolding, resolveNodes, similar/tree/
+# loop cleanup) all do real work — VERDICT r2 item 7
+
+PE_DATA_A = os.path.join(DATA_DIR, "bench_pe_a.fasta")
+PE_DATA_B = os.path.join(DATA_DIR, "bench_pe_b.fasta")
+LATE_BASELINE_FILE = os.path.join(REPO, "bench_late_baseline.json")
+LATE_SEED = 1717
+LATE_ARTIFACTS = [
+    "_sortedReads.fasta", ".unitig", "_flow.input",
+    "graph1.gdl", "contigs1.fasta", "graph2.gdl", "contigs2.fasta",
+    "graph3.gdl", "contigs3.fasta", "graph4.gdl", "contigs4.fasta",
+]
+
+_RC_TABLE = str.maketrans("ACGT", "TGCA")
+
+
+def _rc(s):
+    return s.translate(_RC_TABLE)[::-1]
+
+
+def gen_pe_bench_data():
+    """Deterministic repeat-dense PE metagenome, ~113k reads total.
+
+    Structures (same constructions as golden/make_harddata.py, scaled up):
+    six 2-copy 300bp repeats (flow/reduceTrees), a 2-copy repeat cycle
+    (reduceLoops), three SNP-spaced strain bubbles (removeSimilarEdges), a
+    mate-spannable 150bp repeat (findSupportByMatepairsAndMerge), a
+    coverage-separable 600bp repeat at 40x/8x (resolveNodes), a 60bp
+    sequencing gap bridged only by mate pairs (scaffolder N-gap), plus
+    ~300kb of unique filler at ~26x.  File A: insert 450+-30; file B
+    (the gap genome): insert 300+-25."""
+    import random
+    if os.path.exists(PE_DATA_A) and os.path.exists(PE_DATA_B):
+        return
+    os.makedirs(DATA_DIR, exist_ok=True)
+    rng = random.Random(LATE_SEED)
+
+    def genome(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def snp_arm(s, spacing=30):
+        # one substitution every `spacing` bp.  spacing < min_overlap(40)
+        # guarantees no SNP-free window long enough for an exact cross-arm
+        # overlap: random per-base SNPs leave such windows, whose chimeric
+        # arm-mixing paths admit equal-cost alternate flow optima (the
+        # assembler then cannot be byte-compared against CS2's pick)
+        out = list(s)
+        for p in range(spacing // 2, len(out), spacing):
+            out[p] = rng.choice([c for c in "ACGT" if c != out[p]])
+        return "".join(out)
+
+    def span_pairs(g, n, ins_mean, ins_sd, out, forbid=None):
+        for _ in range(n):
+            ins = max(210, int(rng.gauss(ins_mean, ins_sd)))
+            if ins >= len(g):
+                continue
+            pos = rng.randrange(0, len(g) - ins)
+            if forbid is not None:
+                lo, hi = forbid
+                r1_ok = pos + 100 <= lo or pos >= hi
+                r2_ok = pos + ins <= lo or pos + ins - 100 >= hi
+                if not (r1_ok and r2_ok):
+                    continue
+            frag = g[pos:pos + ins]
+            out.append(frag[:100])
+            out.append(_rc(frag[-100:]))
+
+    def tiled_pairs(g, step, ins_mean, out, jitter=20):
+        i = 0
+        for pos in range(0, len(g) - ins_mean - jitter, step):
+            ins = ins_mean - jitter + (i * 17) % (2 * jitter + 1)
+            i += 1
+            frag = g[pos:pos + ins]
+            r1, r2 = frag[:100], _rc(frag[-100:])
+            if rng.random() < 0.5:
+                out.append(r1)
+                out.append(r2)
+            else:
+                out.append(r2)
+                out.append(r1)
+
+    reads_a = []
+    # Every file-A segment uses gap-free fragment TILING (pe_tiled_pairs
+    # construction from golden/make_harddata.py): Poisson (random) sampling
+    # leaves coverage-0 tips whose min-cost-flow admits equal-cost
+    # alternate optima, making byte-equality against CS2 ill-posed.
+    # six 2-copy repeat islands, ~28x
+    for k in range(6):
+        R = genome(300)
+        seg = (genome(2300 + 131 * k) + R + genome(2100 + 173 * k) + R
+               + genome(2200))
+        tiled_pairs(seg, 7, 450, reads_a)
+    # 2-copy repeat cycle D R3 E R3 F, ~28x
+    R3 = genome(300)
+    seg = genome(2500) + R3 + genome(2000) + R3 + genome(2500)
+    tiled_pairs(seg, 7, 450, reads_a)
+    # three strain bubbles (shared flanks, 800bp arm vs SNP-every-30bp
+    # variant arm: <5% edit distance -> removeSimilarEdges), ~14x
+    for k in range(3):
+        W, S, Z = genome(1500), genome(800), genome(1500)
+        S2 = snp_arm(S)
+        for arm in (S, S2):
+            tiled_pairs(W + arm + Z, 14, 450, reads_a)
+    # mate-spannable 150bp repeat (insert 450 > 150 + 2*100), ~25x
+    M = genome(150)
+    for lens in ((2200, 2400), (2300, 2100)):
+        tiled_pairs(genome(lens[0]) + M + genome(lens[1]), 8, 450, reads_a)
+    # coverage-separable 600bp repeat: 40x vs 8x
+    R2 = genome(600)
+    tiled_pairs(genome(2000) + R2 + genome(2000), 5, 450, reads_a)   # 40x
+    tiled_pairs(genome(2100) + R2 + genome(1900), 25, 450, reads_a)  # 8x
+    # unique filler, ~27x
+    for _ in range(3):
+        tiled_pairs(genome(100_000), 7, 450, reads_a)
+
+    # file B: sequencing gap only mate pairs bridge (insert 300)
+    reads_b = []
+    X, gap, Y = genome(2500), genome(60), genome(2500)
+    span_pairs(X + gap + Y, 2200, 300, 25, reads_b,
+               forbid=(len(X), len(X) + len(gap)))
+
+    for path, reads in ((PE_DATA_A, reads_a), (PE_DATA_B, reads_b)):
+        with open(path, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(">p%d\n%s\n" % (i, r))
+
+
+def _sha256_file(path):
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def measure_reference_late():
+    """One-time: run the reference binary on the late-phase dataset; record
+    phase walls, late-pass counters and artifact hashes (the oracle)."""
+    binary = os.path.join(REPO, "golden", "metagenomics_ref_O0")
+    if not os.path.exists(binary):
+        return None
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            proc = subprocess.run(
+                [binary, "-pe", "2", PE_DATA_A, PE_DATA_B, "-f",
+                 os.path.join(td, "g_"), "-l", str(MIN_OVERLAP)],
+                capture_output=True, text=True, timeout=7200)
+        except subprocess.TimeoutExpired:
+            return None
+        if proc.returncode != 0:
+            return None
+        out = proc.stdout
+        fin = re.findall(
+            r"Function (\w+)\(\) finished in ([\d.e+-]+) Seconds", out)
+
+        def total(name):
+            return sum(float(t) for n, t in fin if n == name)
+
+        n_unique = int(re.search(r"Number of unique reads: (\d+)",
+                                 out).group(1))
+        construction = (total("insertDataset")
+                        + total("buildOverlapGraphFromHashTable"))
+        ingest = (total("readDataset") + total("sortReads")
+                  + total("removeDupicateReads"))
+        mid_io = total("printDataset") + total("saveGraphToFile")
+        late = total("main") - ingest - construction - mid_io
+        counters = {
+            "similar_edges": sum(int(m) for m in re.findall(
+                r"(\d+) edges to remove", out)),
+            "loops_removed": sum(int(m) for m in re.findall(
+                r"Loops removed: (\d+)", out)),
+            "trees_removed": sum(int(m) for m in re.findall(
+                r"(\d+) trees removed", out)),
+            "mp_merged": sum(int(m) for m in re.findall(
+                r"(\d+) Pairs of Edges merged out", out)),
+            "scaffold_joins": len(re.findall(
+                r"supported\s+\d+ times\. Average distance", out)),
+            "resolve_merged": sum(int(m) for m in re.findall(
+                r"(\d+) edges merged", out)),
+        }
+        hashes = {a: _sha256_file(os.path.join(td, "g_" + a))
+                  for a in LATE_ARTIFACTS
+                  if os.path.exists(os.path.join(td, "g_" + a))}
+    return {"unique_reads": n_unique,
+            "construction_s": round(construction, 3),
+            "late_s": round(late, 3),
+            "counters": counters, "artifact_sha256": hashes}
+
+
+def get_late_baseline():
+    params = {"seed": LATE_SEED, "v": 2, "min_overlap": MIN_OVERLAP}
+    if os.path.exists(LATE_BASELINE_FILE):
+        with open(LATE_BASELINE_FILE) as f:
+            cached = json.load(f)
+        if cached.get("params") == params:
+            return cached["baseline"]
+    baseline = measure_reference_late()
+    if baseline is not None:
+        with open(LATE_BASELINE_FILE, "w") as f:
+            json.dump({"params": params, "baseline": baseline}, f, indent=1)
+    return baseline
+
+
+def measure_late():
+    """Full assembly on the late-phase dataset with the native engine on
+    CPU; returns construction vs late-phase wall and artifact equality
+    against the cached reference hashes."""
+    gen_pe_bench_data()
+    baseline = get_late_baseline()
+    import tempfile
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-m", "metagenomics_tpu.cli", "-pe", "2",
+             PE_DATA_A, PE_DATA_B, "-f", os.path.join(td, "t_"),
+             "-l", str(MIN_OVERLAP)],
+            capture_output=True, text=True, timeout=3600, env=env)
+        wall = time.time() - t0
+        if proc.returncode != 0:
+            return {"error": "assembler rc=%d" % proc.returncode}
+        out = proc.stdout
+        times = {}
+        for name, t in re.findall(
+                r"Function (\w+)\(?\)? finished in ([\d.e+-]+) Seconds", out):
+            times[name] = times.get(name, 0.0) + float(t)
+        construction = times.get("buildOverlapGraphFromHashTable", 0.0)
+        ingest = times.get("Dataset", 0.0)
+        mid_io = (times.get("printDataset", 0.0)
+                  + times.get("saveGraphToFile", 0.0))
+        m = re.search(r"Assembly finished in ([\d.]+) seconds", out)
+        total = float(m.group(1)) if m else wall
+        late = total - ingest - construction - mid_io
+        result = {
+            "construction_s": round(construction, 3),
+            "late_phases_s": round(late, 3),
+            "ingest_s": round(ingest, 3),
+            "total_s": round(total, 3),
+        }
+        if baseline:
+            equal = all(
+                os.path.exists(os.path.join(td, "t_" + a))
+                and _sha256_file(os.path.join(td, "t_" + a)) == h
+                for a, h in baseline["artifact_sha256"].items())
+            result["artifacts_equal_reference"] = equal
+            result["ref_construction_s"] = baseline["construction_s"]
+            result["ref_late_s"] = baseline["late_s"]
+            result["late_speedup_vs_ref"] = (
+                round(baseline["late_s"] / late, 2) if late > 0 else None)
+            result["counters"] = baseline["counters"]
+    return result
+
+
 def _fresh_graph(ds, cfg):
     from metagenomics_tpu.graph import OverlapGraph
     u = ds.number_of_unique_reads
@@ -280,6 +539,12 @@ def main():
     n_reads, secs = measure_native()
     native_rps = n_reads / secs
 
+    late = None
+    try:
+        late = measure_late()
+    except Exception:
+        pass
+
     device = None
     try:
         device = measure_device_subprocess()
@@ -308,14 +573,17 @@ def main():
         if dc > value:
             value, headline = dc, "device_tpu_compute"
 
-    print(json.dumps({
+    record = {
         "metric": "overlap_detection_throughput",
         "value": round(value, 1),
         "unit": "reads/s",
         "vs_baseline": round(value / base_rps, 2) if base_rps else 0.0,
         "headline_engine": headline,
         "engines": engines,
-    }))
+    }
+    if late:
+        record["late_phases"] = late
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -95,9 +95,11 @@ class Assembler:
             graph.sort_edges()
         else:
             self._timed("buildOverlapGraphFromHashTable", self._build, graph)
-            ds.save_reads(prefix + "_sortedReads.fasta")
+            self._timed("printDataset", ds.save_reads,
+                        prefix + "_sortedReads.fasta")
             graph.sort_edges()
-            graph.save_graph_to_file(prefix + ".unitig")
+            self._timed("saveGraphToFile", graph.save_graph_to_file,
+                        prefix + ".unitig")
 
         self._timed("calculateFlow", graph.calculate_flow,
                     prefix + "_flow.input", prefix + "_flow.output")

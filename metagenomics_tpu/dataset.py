@@ -99,6 +99,10 @@ class Dataset:
         self.log = log
 
         self.number_of_reads = 0
+        self.mp_rid = np.zeros(0, np.int64)
+        self.mp_mate = np.zeros(0, np.int64)
+        self.mp_orient = np.zeros(0, np.int64)
+        self.mp_dataset = np.zeros(0, np.int64)
         self.shortest_read_length = None
         self.longest_read_length = None
 
@@ -169,12 +173,16 @@ class Dataset:
             m = len(lens)
             lmax = max(int(lengths.max()), 1)
             flat = np.frombuffer(bytes(buf) + b"\0", dtype=np.uint8)
-            offsets = np.zeros(m, dtype=np.int64)
-            np.cumsum(lengths[:-1], out=offsets[1:])
-            pos = np.minimum(offsets[:, None] + np.arange(lmax)[None, :],
-                             len(flat) - 1)
-            ascii_arr = np.where(
-                np.arange(lmax)[None, :] < lengths[:, None], flat[pos], 0)
+            if int(lengths.min()) == lmax:
+                # uniform lengths: the flat buffer IS the matrix
+                ascii_arr = flat[:m * lmax].reshape(m, lmax)
+            else:
+                offsets = np.zeros(m, dtype=np.int64)
+                np.cumsum(lengths[:-1], out=offsets[1:])
+                pos = np.minimum(offsets[:, None] + np.arange(lmax)[None, :],
+                                 len(flat) - 1)
+                ascii_arr = np.where(
+                    np.arange(lmax)[None, :] < lengths[:, None], flat[pos], 0)
             codes = packing.ascii_to_codes(ascii_arr, lengths)
             # host twins of the device kernels: ingest is IO-bound host
             # work, so paying an XLA compile here buys nothing (equality
@@ -245,8 +253,12 @@ class Dataset:
         self.frequencies[1:] = freq
         self.sort_limbs = limbs[uniq_idx]      # for binary-search lookup
 
-        self.codes_rev = packing.reverse_complement_codes_np(
-            self.codes_fwd, self.lengths)
+        # row 0 is the unused PAD row; excluding it lets the uniform-length
+        # fast path in reverse_complement_codes_np apply
+        self.codes_rev = np.full_like(self.codes_fwd, packing.PAD_CODE)
+        if u:
+            self.codes_rev[1:] = packing.reverse_complement_codes_np(
+                self.codes_fwd[1:], self.lengths[1:])
 
         # byte-string views for the graph-surgery layer, decoded on demand
         # from the code matrices (no resident string copies)
@@ -300,26 +312,37 @@ class Dataset:
         self._loc_reverse = v
 
     def _materialize_locations(self):
-        """Convert the native engine's flat location arrays into the
-        per-read Python lists the graph-surgery layer mutates."""
+        """Convert the native engine's flat location arrays into per-read
+        Python lists for the graph-surgery layer.  Every row is populated,
+        so the containers become PLAIN lists of lists — the laziness only
+        pays before this point, and the late phases index these rows
+        millions of times (a Python-level __getitem__ would dominate)."""
         edges, counts_f, counts_r, loc_edge_pos, ld = self._pending_locations
         self._pending_locations = None
         import numpy as _np
         edge_objs = _np.empty(max(len(edges), 1), dtype=object)
         for p, e in enumerate(edges):
             edge_objs[p] = e
-        arr_e = (edge_objs[loc_edge_pos] if len(edges)
-                 else _np.empty(0, dtype=object))
+        ael = (edge_objs[loc_edge_pos].tolist() if len(edges) else [])
+        n_rows = len(counts_f)
+        ef = [None] * n_rows
+        lf = [None] * n_rows
+        er = [None] * n_rows
+        lr = [None] * n_rows
         pos = 0
-        for i in range(len(counts_f)):
+        for i in range(n_rows):
             nf = counts_f[i]
             nr = counts_r[i]
-            self._edges_forward[i] = arr_e[pos:pos + nf].tolist()
-            self._loc_forward[i] = ld[pos:pos + nf]
+            ef[i] = ael[pos:pos + nf]
+            lf[i] = ld[pos:pos + nf]
             pos += nf
-            self._edges_reverse[i] = arr_e[pos:pos + nr].tolist()
-            self._loc_reverse[i] = ld[pos:pos + nr]
+            er[i] = ael[pos:pos + nr]
+            lr[i] = ld[pos:pos + nr]
             pos += nr
+        self._edges_forward = ef
+        self._loc_forward = lf
+        self._edges_reverse = er
+        self._loc_reverse = lr
 
     # ------------------------------------------------------------- accessors
 
@@ -371,29 +394,132 @@ class Dataset:
         contained-read marking."""
         for d, path in enumerate(self.pe_files):
             self._store_mate_pairs(path, d)
+        self._build_mp_arrays()
+
+    def _build_mp_arrays(self):
+        """Flatten the per-read mate-pair lists into parallel arrays in the
+        reference's iteration order (read id, then list position).  The
+        late phases iterate mate pairs many times; array iteration avoids
+        per-entry attribute/dict lookups.  Immutable after this point."""
+        rid, mate, ori, dsn = [], [], [], []
+        for i in range(1, self.number_of_unique_reads + 1):
+            for mp in self.mate_pair_lists[i]:
+                rid.append(i)
+                mate.append(mp.mate_id)
+                ori.append(mp.orientation)
+                dsn.append(mp.dataset)
+        self.mp_rid = np.asarray(rid, np.int64)
+        self.mp_mate = np.asarray(mate, np.int64)
+        self.mp_orient = np.asarray(ori, np.int64)
+        self.mp_dataset = np.asarray(dsn, np.int64)
 
     def _store_mate_pairs(self, path, dataset_number):
+        """Vectorized second pass (Dataset.cpp:208-310): chunked batches of
+        pairs go through numpy QC, canonicalization (whose flip flag IS the
+        orientation for non-contained reads — strstr against an equal-length
+        canonical string is equality, Dataset.cpp:294-298) and a vectorized
+        lexicographic binary search over the sorted limb index; only the
+        contained-read remaps fall back to the per-string substring check."""
         self.log("Store paired-end information of dataset: %d from file: %s"
                  % (dataset_number, path))
         good = bad = 0
-        mo = self.min_overlap
-        for s1, s2 in fastx_pairs(path):
-            if len(s1) > mo and len(s2) > mo and _test_read(s1) and _test_read(s2):
-                r1 = self.find_read_id(s1)
-                r2 = self.find_read_id(s2)
-                if self.super_read_id[r1] != 0:
-                    r1 = int(self.super_read_id[r1])
-                if self.super_read_id[r2] != 0:
-                    r2 = int(self.super_read_id[r2])
-                good += 2
-                orient1 = 1 if s1.encode() in self.read_strs[r1] else 0
-                orient2 = 1 if s2.encode() in self.read_strs[r2] else 0
-                self._add_mate_pair(r1, r2, orient1 * 2 + orient2, dataset_number)
-                self._add_mate_pair(r2, r1, orient1 + orient2 * 2, dataset_number)
-            else:
-                bad += 2
+        pend = []
+        # half the ingest chunk so each 2-reads-per-pair batch reuses the
+        # QC kernel shapes already compiled during _read_file
+        CH = self.CHUNK_READS // 2
+        for pair in fastx_pairs(path):
+            pend.append(pair)
+            if len(pend) >= CH:
+                g, b = self._store_mate_pair_chunk(pend, dataset_number)
+                good += g
+                bad += b
+                pend = []
+        if pend:
+            g, b = self._store_mate_pair_chunk(pend, dataset_number)
+            good += g
+            bad += b
         self.log("%10d reads in %10d mate-pairs are good." % (good, good // 2))
         self.log("%10d reads in %10d mate-pairs are discarded." % (bad, bad // 2))
+
+    def _store_mate_pair_chunk(self, pairs, dataset_number):
+        m2 = 2 * len(pairs)
+        lens = np.fromiter((len(s) for pr in pairs for s in pr),
+                           np.int64, m2)
+        lmax = max(int(lens.max()), 1)
+        flat = np.frombuffer(
+            "".join(s for pr in pairs for s in pr).encode() + b"\0",
+            dtype=np.uint8)
+        if int(lens.min()) == lmax:
+            ascii_arr = flat[:m2 * lmax].reshape(m2, lmax)
+        else:
+            offsets = np.zeros(m2, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            pos = np.minimum(offsets[:, None] + np.arange(lmax)[None, :],
+                             len(flat) - 1)
+            ascii_arr = np.where(
+                np.arange(lmax)[None, :] < lens[:, None], flat[pos], 0)
+        codes = packing.ascii_to_codes(ascii_arr, lens)
+        ok = packing.qc_mask_np(codes, lens, self.min_overlap)
+        okpair = ok[0::2] & ok[1::2]
+        good = 2 * int(okpair.sum())
+        bad = m2 - good
+        if not good:
+            return good, bad
+        sel = np.repeat(okpair, 2)
+        canon, flipped = packing.canonicalize_codes_np(codes[sel], lens[sel])
+        limbs = packing.pack_sort_limbs(canon, lens[sel])
+        nlimb = self.sort_limbs.shape[1]
+        if limbs.shape[1] > nlimb:
+            if limbs[:, nlimb:].any():
+                raise KeyError("String not found in Dataset (too long)")
+            limbs = limbs[:, :nlimb]
+        q = np.zeros((limbs.shape[0], nlimb), dtype=np.uint64)
+        q[:, :limbs.shape[1]] = limbs
+        rid = self._batch_find_ids(q)
+        sup = self.super_read_id[rid]
+        remap = sup != 0
+        rid = np.where(remap, sup, rid)
+        orient = (~flipped).astype(np.int64)
+        if remap.any():
+            # contained reads: the super read is longer, use the reference's
+            # substring probe on the original (non-canonical) string
+            gsel = np.flatnonzero(sel)
+            for j in np.flatnonzero(remap):
+                gj = int(gsel[j])
+                s = pairs[gj // 2][gj % 2]
+                orient[j] = 1 if s.encode() in self.read_strs[int(rid[j])] \
+                    else 0
+        add = self._add_mate_pair
+        for r1, r2, o1, o2 in zip(rid[0::2].tolist(), rid[1::2].tolist(),
+                                  orient[0::2].tolist(),
+                                  orient[1::2].tolist()):
+            add(r1, r2, o1 * 2 + o2, dataset_number)
+            add(r2, r1, o1 + o2 * 2, dataset_number)
+        return good, bad
+
+    def _batch_find_ids(self, q):
+        """Vectorized lexicographic lookup of query limb rows in the sorted
+        dataset limb index (one np.searchsorted over a big-endian byte view
+        — memcmp order == per-limb numeric order); returns 1-based read ids,
+        raising like getReadFromString (Dataset.cpp:454) on a miss."""
+        sl = self.sort_limbs
+        n, nlimb = sl.shape
+        if n == 0:
+            raise KeyError("String not found in Dataset")
+        vt = "V%d" % (8 * nlimb)
+        view = getattr(self, "_sort_limbs_view", None)
+        if view is None or len(view) != n:
+            view = (np.ascontiguousarray(sl).astype(">u8")
+                    .reshape(n, -1).view(vt).ravel())
+            self._sort_limbs_view = view
+        qv = (np.ascontiguousarray(q).astype(">u8")
+              .reshape(len(q), -1).view(vt).ravel())
+        lo = np.searchsorted(view, qv)
+        safe = np.minimum(lo, n - 1)
+        ok = (lo < n) & (sl[safe] == q).all(axis=1)
+        if not ok.all():
+            raise KeyError("String not found in Dataset")
+        return lo + 1
 
     def _add_mate_pair(self, rid, mate_id, orientation, dataset_number):
         lst = self.mate_pair_lists[rid]
@@ -406,13 +532,24 @@ class Dataset:
     # -------------------------------------------------------------- artifacts
 
     def save_reads(self, path):
-        """Write the sorted-reads debug dump (reference: Dataset.cpp:71-90)."""
+        """Write the sorted-reads debug dump (reference: Dataset.cpp:71-90);
+        reads are decoded in blocked batches (one LUT gather per block)."""
+        n = self.number_of_unique_reads
+        B = 1 << 15
         with open(path, "w") as f:
-            for i in range(1, self.number_of_unique_reads + 1):
-                sup = int(self.super_read_id[i])
-                tag = "Contained in" if sup != 0 else "Noncontained"
-                f.write("%10d %s %10d %s\n"
-                        % (i, tag, sup, self.read_strs[i].decode()))
+            for s in range(1, n + 1, B):
+                e = min(s + B, n + 1)
+                amat = packing.codes_to_ascii_all(self.codes_fwd[s:e])
+                lens = self.lengths[s:e].tolist()
+                sups = self.super_read_id[s:e].tolist()
+                rows = []
+                for t in range(e - s):
+                    sup = sups[t]
+                    rows.append("%10d %s %10d %s\n" % (
+                        s + t,
+                        "Contained in" if sup != 0 else "Noncontained",
+                        sup, amat[t, :lens[t]].tobytes().decode()))
+                f.write("".join(rows))
 
 
 def _test_read(s: str) -> bool:

@@ -102,6 +102,11 @@ class BuildMixin:
             self.log("All reads are of same length. No contained reads.")
         ds.read_mate_pairs_from_file()
         self._load_native_result(res)
+        # the read->(edge, offset) inverted index is construction work in
+        # the reference (updateReadLocations during BFS/contraction);
+        # materialize it here rather than lazily inside a late phase
+        if ds._pending_locations is not None:
+            ds._materialize_locations()
         self.log("counter: %10d Nodes: %10d Edges: %10d"
                  % (ds.number_of_unique_reads, self.number_of_nodes,
                     self.number_of_edges // 2))

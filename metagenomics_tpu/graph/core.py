@@ -248,29 +248,67 @@ class GraphCore:
 
     def get_string_in_edge(self, edge) -> bytes:
         """Reconstruct the sequence spelled by an edge
-        (OverlapGraph.cpp:2009-2041); 'N' marks scaffold gaps."""
+        (OverlapGraph.cpp:2009-2041); 'N' marks scaffold gaps.
+
+        The read manifest is decoded in blocked batches (one LUT gather per
+        block instead of one per read) — identical splice semantics to the
+        reference's per-read substr walk."""
         ds = self.ds
-        read1 = (ds.get_string_forward(edge.source) if edge.orient in (2, 3)
-                 else ds.get_string_reverse(edge.source))
-        read2 = (ds.get_string_forward(edge.destination) if edge.orient in (1, 3)
-                 else ds.get_string_reverse(edge.destination))
-        parts = [read1]
-        prev_len = len(read1)
-        for rid, off, orient in zip(edge.list_reads, edge.list_offsets,
-                                    edge.list_orients):
-            rt = (ds.get_string_forward(rid) if orient == 1
-                  else ds.get_string_reverse(rid))
-            sub_len = len(rt) + off - prev_len
-            if off == prev_len:
-                parts.append(b"N")
-            parts.append(rt[len(rt) - sub_len:] if sub_len > 0 else b"")
-            prev_len = len(rt)
-        if not edge.list_reads:
+        reads = edge.list_reads
+        if not reads:
+            read1 = (ds.get_string_forward(edge.source)
+                     if edge.orient in (2, 3)
+                     else ds.get_string_reverse(edge.source))
+            read2 = (ds.get_string_forward(edge.destination)
+                     if edge.orient in (1, 3)
+                     else ds.get_string_reverse(edge.destination))
             sub_len = len(read2) + edge.offset - len(read1)
-            parts.append(read2[len(read2) - sub_len:] if sub_len > 0 else b"")
-        else:
-            sub_len = edge.reverse.list_offsets[0]
-            parts.append(read2[len(read2) - sub_len:] if sub_len > 0 else b"")
+            return read1 + (read2[len(read2) - sub_len:] if sub_len > 0
+                            else b"")
+        import numpy as np
+        from ..ops import packing
+        n = len(reads) + 2
+        rids = np.empty(n, np.int64)
+        rids[0] = edge.source
+        rids[1:-1] = reads
+        rids[-1] = edge.destination
+        fwd = np.empty(n, bool)
+        fwd[0] = edge.orient in (2, 3)
+        fwd[1:-1] = np.asarray(edge.list_orients, np.int64) == 1
+        fwd[-1] = edge.orient in (1, 3)
+        lens = ds.lengths[rids].tolist()
+        offs = edge.list_offsets
+        parts = []
+        prev_len = lens[0]
+        B = 1 << 15
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            block = rids[s:e]
+            f = fwd[s:e]
+            mat = np.empty((e - s, ds.codes_fwd.shape[1]), np.uint8)
+            if f.any():
+                mat[f] = ds.codes_fwd[block[f]]
+            nf = ~f
+            if nf.any():
+                mat[nf] = ds.codes_rev[block[nf]]
+            amat = packing.codes_to_ascii_all(mat)
+            for t in range(s, e):
+                row = amat[t - s]
+                rt_len = lens[t]
+                if t == 0:
+                    parts.append(row[:rt_len].tobytes())
+                elif t < n - 1:
+                    off = offs[t - 1]
+                    sub_len = rt_len + off - prev_len
+                    if off == prev_len:
+                        parts.append(b"N")
+                    if sub_len > 0:
+                        parts.append(row[rt_len - sub_len:rt_len].tobytes())
+                else:
+                    sub_len = edge.reverse.list_offsets[0]
+                    if sub_len > 0:
+                        parts.append(row[rt_len - sub_len:rt_len].tobytes())
+                prev_len = rt_len
         return b"".join(parts)
 
     # ---------------------------------------------------------- artifacts

@@ -57,39 +57,43 @@ class MatePairMixin:
         n = ds.number_of_unique_reads
         ndatasets = len(ds.pe_files)
 
-        # CSR over each read's (forward + reverse) edge locations.  Edge
-        # identity is an interned token; locations are the running distances
-        # maintained by update_read_locations.
-        token_of = {}
-        toks = []
-        locs = []
+        # Location table built EDGE-major (update_read_locations is the only
+        # writer of the per-read lists, so enumerating every live edge's
+        # manifest with running-offset distances reproduces the same
+        # (read -> {edge, loc}) multiset without touching 2n Python lists).
+        # The edge token is its construction serial (unique per Edge object,
+        # so token equality == the reference's pointer identity).
+        tok_chunks = []
+        rid_chunks = []
+        dist_chunks = []
+        for adj_list in self.adj:
+            for e in adj_list:
+                mr = e.list_reads
+                if not mr:
+                    continue
+                d = np.cumsum(np.asarray(e.list_offsets, np.int64))
+                rid_chunks.append(np.asarray(mr, np.int64))
+                dist_chunks.append(d)
+                tok_chunks.append(np.full(len(mr), e.serial, np.int64))
+        if tok_chunks:
+            rid_all = np.concatenate(rid_chunks)
+            order = np.argsort(rid_all, kind="stable")
+            rid_all = rid_all[order]
+            toks = np.concatenate(tok_chunks)[order]
+            locs = np.concatenate(dist_chunks)[order]
+            counts = np.bincount(rid_all, minlength=n + 1)
+        else:
+            toks = np.zeros(0, np.int64)
+            locs = np.zeros(0, np.int64)
+            counts = np.zeros(n + 1, np.int64)
         indptr = np.zeros(n + 2, np.int64)
-        # mate pairs collected per dataset in reference iteration order
-        pairs1 = [[] for _ in range(ndatasets)]
-        pairs2 = [[] for _ in range(ndatasets)]
-        for i in range(1, n + 1):
-            mps = ds.mate_pair_lists[i]
-            if mps:
-                for mp in mps:
-                    pairs1[mp.dataset].append(i)
-                    pairs2[mp.dataset].append(mp.mate_id)
-            for elist, llist in ((ds.edges_forward[i], ds.loc_forward[i]),
-                                 (ds.edges_reverse[i], ds.loc_reverse[i])):
-                for e in elist:
-                    t = token_of.get(id(e))
-                    if t is None:
-                        t = len(token_of)
-                        token_of[id(e)] = t
-                    toks.append(t)
-                locs.extend(llist)
-            indptr[i + 1] = len(toks)
-        toks = np.asarray(toks, np.int64)
-        locs = np.asarray(locs, np.int64)
+        np.cumsum(counts, out=indptr[1:])
 
         for d in range(ndatasets):
             self.log("Calculating mean and SD of dataset: %d" % d)
-            I = np.asarray(pairs1[d], np.int64)
-            R = np.asarray(pairs2[d], np.int64)
+            dmask = ds.mp_dataset == d
+            I = ds.mp_rid[dmask]
+            R = ds.mp_mate[dmask]
             count = 0
             total = 0
             variance = 0  # u64 wrap-sum of squared deviations needs the mean
@@ -286,38 +290,38 @@ class MatePairMixin:
         # reference's first-match linear scan exactly while the supports
         # list keeps insertion order for std_sort
         sup_index = {}
-        for i in range(1, ds.number_of_unique_reads + 1):
-            for mp in ds.mate_pair_lists[i]:
-                r2 = mp.mate_id
-                if i > r2:
-                    continue
-                if self.get_mean(mp.dataset) == 0:
-                    continue
-                if self.find_path_between_matepairs(
-                        i, r2, mp.orientation, mp.dataset,
-                        copy_of_path, copy_of_flags):
-                    if len(copy_of_path) == 0:
-                        no_paths += 1
-                    else:
-                        paths += 1
+        import numpy as np
+        means = np.asarray(self.mean_of_insert_sizes, np.int64)
+        sel = np.flatnonzero((ds.mp_rid <= ds.mp_mate)
+                             & (means[ds.mp_dataset] != 0))
+        for i, r2, mp_orient, mp_ds in zip(
+                ds.mp_rid[sel].tolist(), ds.mp_mate[sel].tolist(),
+                ds.mp_orient[sel].tolist(), ds.mp_dataset[sel].tolist()):
+            if self.find_path_between_matepairs(
+                    i, r2, mp_orient, mp_ds,
+                    copy_of_path, copy_of_flags):
+                if len(copy_of_path) == 0:
+                    no_paths += 1
                 else:
-                    mp_same_edge += 1
-                if len(copy_of_path) > 1:
-                    for k in range(len(copy_of_flags)):
-                        if copy_of_flags[k] != 1:
-                            continue
-                        ek, ek1 = copy_of_path[k], copy_of_path[k + 1]
-                        ps = sup_index.get((id(ek), id(ek1)))
-                        if ps is None:
-                            ps = sup_index.get(
-                                (id(ek1.reverse), id(ek.reverse)))
-                        if ps is not None:
-                            ps.support += 1
-                        elif (ek.source != ek.destination
-                                or ek1.source != ek1.destination):
-                            ps = _PairSupport(ek, ek1)
-                            supports.append(ps)
-                            sup_index[(id(ek), id(ek1))] = ps
+                    paths += 1
+            else:
+                mp_same_edge += 1
+            if len(copy_of_path) > 1:
+                for k in range(len(copy_of_flags)):
+                    if copy_of_flags[k] != 1:
+                        continue
+                    ek, ek1 = copy_of_path[k], copy_of_path[k + 1]
+                    ps = sup_index.get((id(ek), id(ek1)))
+                    if ps is None:
+                        ps = sup_index.get(
+                            (id(ek1.reverse), id(ek.reverse)))
+                    if ps is not None:
+                        ps.support += 1
+                    elif (ek.source != ek.destination
+                            or ek1.source != ek1.destination):
+                        ps = _PairSupport(ek, ek1)
+                        supports.append(ps)
+                        sup_index[(id(ek), id(ek1))] = ps
 
         from ..utils.stdsort import std_sort
         std_sort(supports, lambda a, b: a.support > b.support)

@@ -40,42 +40,39 @@ class ScaffoldMixin:
         # at most one of (e1.rev, e2) / (e2.rev, e1) is ever present
         # (OverlapGraph.cpp:2163-2183), so dict lookup == first-match scan
         sup_index = {}
-        for i in range(1, ds.number_of_unique_reads + 1):
-            for mp in ds.mate_pair_lists[i]:
-                r2 = mp.mate_id
-                if i > r2:
+        import numpy as np
+        sel = np.flatnonzero(ds.mp_rid <= ds.mp_mate)
+        ef, er = ds.edges_forward, ds.edges_reverse
+        lf, lr = ds.loc_forward, ds.loc_reverse
+        window = [self.get_mean(d) + 3 * self.get_sd(d)
+                  for d in range(len(self.mean_of_insert_sizes))]
+        for i, r2, orient, d in zip(
+                ds.mp_rid[sel].tolist(), ds.mp_mate[sel].tolist(),
+                ds.mp_orient[sel].tolist(), ds.mp_dataset[sel].tolist()):
+            if orient in (0, 1):
+                list1, loc1 = ef[i], lf[i]
+            else:
+                list1, loc1 = er[i], lr[i]
+            if orient in (0, 2):
+                list2, loc2 = ef[r2], lf[r2]
+            else:
+                list2, loc2 = er[r2], lr[r2]
+            if (len(list1) == 1 and len(list2) == 1
+                    and loc1[0] + loc2[0] < window[d]):
+                dist = loc1[0] + loc2[0]
+                e1, e2 = list1[0], list2[0]
+                if e1 is e2 or e1 is e2.reverse:
                     continue
-                orient = mp.orientation
-                d = mp.dataset
-                if orient in (0, 1):
-                    list1 = ds.edges_forward[i]
-                    loc1 = ds.loc_forward[i]
+                ps = sup_index.get((id(e1.reverse), id(e2)))
+                if ps is None:
+                    ps = sup_index.get((id(e2.reverse), id(e1)))
+                if ps is not None:
+                    ps.support += 1
+                    ps.distance += dist
                 else:
-                    list1 = ds.edges_reverse[i]
-                    loc1 = ds.loc_reverse[i]
-                if orient in (0, 2):
-                    list2 = ds.edges_forward[r2]
-                    loc2 = ds.loc_forward[r2]
-                else:
-                    list2 = ds.edges_reverse[r2]
-                    loc2 = ds.loc_reverse[r2]
-                if (len(list1) == 1 and len(list2) == 1
-                        and loc1[0] + loc2[0]
-                        < self.get_mean(d) + 3 * self.get_sd(d)):
-                    dist = loc1[0] + loc2[0]
-                    e1, e2 = list1[0], list2[0]
-                    if e1 is e2 or e1 is e2.reverse:
-                        continue
-                    ps = sup_index.get((id(e1.reverse), id(e2)))
-                    if ps is None:
-                        ps = sup_index.get((id(e2.reverse), id(e1)))
-                    if ps is not None:
-                        ps.support += 1
-                        ps.distance += dist
-                    else:
-                        ps = _PairSupport(e1.reverse, e2, dist)
-                        supports.append(ps)
-                        sup_index[(id(e1.reverse), id(e2))] = ps
+                    ps = _PairSupport(e1.reverse, e2, dist)
+                    supports.append(ps)
+                    sup_index[(id(e1.reverse), id(e2))] = ps
 
         from ..utils.stdsort import std_sort
         std_sort(supports, lambda a, b: a.support > b.support)

@@ -10,24 +10,30 @@ from .core import match_edge_type, _i32
 
 
 def edit_distance(s1: bytes, s2: bytes) -> int:
-    """Levenshtein distance (OverlapGraph.cpp:1736-1773)."""
+    """Levenshtein distance (OverlapGraph.cpp:1736-1773).
+
+    Row-vectorized DP: substitution/deletion are elementwise on the previous
+    row; the insertion recurrence cur[j] = min(t[j-1], cur[j-1] + 1) is the
+    running minimum of (t[j] - j) since each step adds exactly 1 per index —
+    one np.minimum.accumulate per row.  The distance is unique, so any
+    evaluation order matches the reference's cell loop."""
     m, n = len(s1), len(s2)
     if m == 0:
         return n
     if n == 0:
         return m
-    costs = list(range(n + 1))
-    for i, c1 in enumerate(s1):
-        costs[0] = i + 1
-        corner = i
-        for jj, c2 in enumerate(s2):
-            upper = costs[jj + 1]
-            if c1 == c2:
-                costs[jj + 1] = corner
-            else:
-                costs[jj + 1] = min(upper, corner, costs[jj]) + 1
-            corner = upper
-    return costs[n]
+    import numpy as np
+    a = np.frombuffer(s1, np.uint8)
+    b = np.frombuffer(s2, np.uint8)
+    jj = np.arange(1, n + 1, dtype=np.int64)
+    prev = np.arange(n + 1, dtype=np.int64)
+    head = np.empty(1, np.int64)
+    for i in range(m):
+        t = np.minimum(prev[:-1] + (b != a[i]), prev[1:] + 1)
+        head[0] = i + 1
+        u = np.minimum.accumulate(np.concatenate((head, t - jj)))
+        prev = u + np.arange(n + 1)
+    return int(prev[n])
 
 
 class SimplifyMixin:

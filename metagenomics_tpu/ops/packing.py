@@ -115,6 +115,10 @@ def reverse_complement_codes_np(codes: np.ndarray,
     no XLA compile cost.  Used on the ingest path; tests assert equality
     with the device kernel."""
     n, lmax = codes.shape
+    lengths = np.asarray(lengths)
+    if n and int(lengths.min()) == lmax:
+        # uniform-length fast path: no padding anywhere, RC is a mirror
+        return (3 - codes[:, ::-1]).astype(np.uint8)
     out = np.empty((n, lmax), dtype=np.uint8)
     k = np.arange(lmax)[None, :]
     # row-chunked: the [rows, lmax] int64 index matrix would be 8x the
@@ -123,7 +127,7 @@ def reverse_complement_codes_np(codes: np.ndarray,
     for s in range(0, max(n, 1), step):
         e = min(s + step, n)
         ln = lengths[s:e, None]
-        src = np.clip(ln - 1 - k, 0, lmax - 1)
+        src = np.maximum(ln - 1 - k, 0)     # k >= 0 keeps src < lmax
         gathered = np.take_along_axis(codes[s:e], src, axis=1)
         out[s:e] = np.where(k < ln, 3 - gathered, PAD_CODE)
     return out
