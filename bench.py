@@ -374,7 +374,9 @@ def measure_native():
         return time.time() - t0
 
     run_once()                      # warm-up
-    dt = min(run_once() for _ in range(3))
+    # best of 5: this machine's 2 vCPUs see bursty steal from neighboring
+    # VMs; the minimum is the real engine speed
+    dt = min(run_once() for _ in range(5))
     return ds.number_of_unique_reads, dt
 
 
@@ -441,7 +443,9 @@ def run_device_measurement():
     run_device_only()
     runs = [run_once() for _ in range(3)]
     best = min(runs, key=lambda r: r["total"])
-    dev = min(run_device_only() for _ in range(3))
+    # best of 6: the tunneled link's dispatch latency is bursty; the
+    # minimum is the real device speed
+    dev = min(run_device_only() for _ in range(6))
     n = ds.number_of_unique_reads
 
     # on-TPU Pallas regression check: the tile-kernel window hashes must be
