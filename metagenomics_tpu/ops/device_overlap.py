@@ -294,15 +294,19 @@ def _expand_verify(packed2, lengths, left, counts, sorted_rid, sorted_orient,
 
 @partial(jax.jit, static_argnames=("hash_len", "w", "wp", "lmax",
                                    "use_pallas"))
-def _setup_kernel(codes_u8, lengths, hash_len, w, wp, lmax, use_pallas):
-    """Derive everything from the raw uint8 code matrix in ONE program:
-    2-bit packed rows (fwd then rev, spill-padded to wp), forward window
-    hashes, and the stable-sorted 4-key index with (rid<<2|orient) packed
-    entry words (HashTable.cpp:88-104 key set, bucket (rid, orient) order).
-    """
-    codes_fwd = (codes_u8 & 3).astype(jnp.uint8)
+def _setup_kernel(pf, lengths, hash_len, w, wp, lmax, use_pallas):
+    """Derive everything from the HOST-packed forward word matrix in ONE
+    program: unpacked fwd/rev codes, 2-bit packed rows (fwd then rev,
+    spill-padded to wp), forward window hashes, and the stable-sorted
+    4-key index with (rid<<2|orient) packed entry words
+    (HashTable.cpp:88-104 key set, bucket (rid, orient) order).
+
+    The upload is the packed words (4x fewer bytes than raw uint8 codes —
+    on this machine's tunneled link the raw upload alone cost ~0.3s);
+    pack_codes_host and _pack_codes_device produce identical layouts, so
+    pf doubles as the forward half of the verification row store."""
+    codes_fwd = _unpack_codes(pf, lmax)
     codes_rev = _rc_codes(codes_fwd, lengths)
-    pf = _pack_codes_device(codes_fwd, w)
     pr = _pack_codes_device(codes_rev, w)
     pad = ((0, 0), (0, wp - w))
     packed2 = jnp.concatenate([jnp.pad(pf, pad), jnp.pad(pr, pad)], axis=0)
@@ -522,16 +526,16 @@ class DeviceOverlapPipeline:
         import os
         use_pallas = (jax.default_backend() == "tpu"
                       and not os.environ.get("MGTPU_NO_PALLAS"))
-        codes_u8 = jnp.asarray(ds.codes_fwd)          # the ONE upload
+        pf = jnp.asarray(pack_codes_host(ds.codes_fwd))  # the ONE upload
         try:
             self.packed2, self.hf, self.sk, self.sid = _setup_kernel(
-                codes_u8, self.lengths, self.hash_len, self.w, self.wp,
+                pf, self.lengths, self.hash_len, self.w, self.wp,
                 lmax, use_pallas)
         except Exception:
             if not use_pallas:
                 raise
             self.packed2, self.hf, self.sk, self.sid = _setup_kernel(
-                codes_u8, self.lengths, self.hash_len, self.w, self.wp,
+                pf, self.lengths, self.hash_len, self.w, self.wp,
                 lmax, False)
 
         # probe join; the blocked partial sums keep every device-side
