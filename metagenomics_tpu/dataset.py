@@ -254,11 +254,14 @@ class Dataset:
         self.sort_limbs = limbs[uniq_idx]      # for binary-search lookup
 
         # row 0 is the unused PAD row; excluding it lets the uniform-length
-        # fast path in reverse_complement_codes_np apply
-        self.codes_rev = np.full_like(self.codes_fwd, packing.PAD_CODE)
+        # fast path in reverse_complement_codes_np apply, and the out=
+        # view fill avoids a full-size transient
+        self.codes_rev = np.empty_like(self.codes_fwd)
+        self.codes_rev[0] = packing.PAD_CODE
         if u:
-            self.codes_rev[1:] = packing.reverse_complement_codes_np(
-                self.codes_fwd[1:], self.lengths[1:])
+            packing.reverse_complement_codes_np(
+                self.codes_fwd[1:], self.lengths[1:],
+                out=self.codes_rev[1:])
 
         # byte-string views for the graph-surgery layer, decoded on demand
         # from the code matrices (no resident string copies)
@@ -324,21 +327,28 @@ class Dataset:
         for p, e in enumerate(edges):
             edge_objs[p] = e
         ael = (edge_objs[loc_edge_pos].tolist() if len(edges) else [])
-        n_rows = len(counts_f)
-        ef = [None] * n_rows
-        lf = [None] * n_rows
-        er = [None] * n_rows
-        lr = [None] * n_rows
-        pos = 0
-        for i in range(n_rows):
-            nf = counts_f[i]
-            nr = counts_r[i]
-            ef[i] = ael[pos:pos + nf]
-            lf[i] = ld[pos:pos + nf]
-            pos += nf
-            er[i] = ael[pos:pos + nr]
-            lr[i] = ld[pos:pos + nr]
-            pos += nr
+        # all four containers are built with C-level map/slice loops: this
+        # runs inside the timed construction phase for every read row.
+        # slice objects are built per 64k-row block (2 full-length slice
+        # lists would hold ~100MB at metagenome scale)
+        cf = _np.asarray(counts_f, _np.int64)
+        cr = _np.asarray(counts_r, _np.int64)
+        tot = cf + cr
+        ends = _np.cumsum(tot)
+        f_start = (ends - tot).tolist()
+        f_end = (ends - cr).tolist()
+        r_end = ends.tolist()
+        n_rows = len(f_start)
+        ef, lf, er, lr = [], [], [], []
+        B = 1 << 16
+        for s in range(0, n_rows, B):
+            e = min(s + B, n_rows)
+            slf = list(map(slice, f_start[s:e], f_end[s:e]))
+            slr = list(map(slice, f_end[s:e], r_end[s:e]))
+            ef.extend(map(ael.__getitem__, slf))
+            lf.extend(map(ld.__getitem__, slf))
+            er.extend(map(ael.__getitem__, slr))
+            lr.extend(map(ld.__getitem__, slr))
         self._edges_forward = ef
         self._loc_forward = lf
         self._edges_reverse = er

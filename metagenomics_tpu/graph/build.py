@@ -104,7 +104,10 @@ class BuildMixin:
         self._load_native_result(res)
         # the read->(edge, offset) inverted index is construction work in
         # the reference (updateReadLocations during BFS/contraction);
-        # materialize it here rather than lazily inside a late phase
+        # materialize it here rather than lazily inside a late phase.
+        # res holds the engine's numpy result arrays — release them first
+        # so the Python list containers don't stack on top of them
+        res = None
         if ds._pending_locations is not None:
             ds._materialize_locations()
         self.log("counter: %10d Nodes: %10d Edges: %10d"

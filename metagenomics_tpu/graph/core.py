@@ -401,8 +401,13 @@ class GraphCore:
                     for rid, off, orient in zip(e.list_reads, e.list_offsets,
                                                 e.list_orients):
                         out.extend((rid, off, orient))
+        # chunked formatting: one join over the full manifest stream would
+        # transiently hold ~50B per number at metagenome scale
         with open(path, "w") as f:
-            f.write("".join("%d\n" % v for v in out))
+            B = 1 << 18
+            for s in range(0, len(out), B):
+                f.write("\n".join(map(str, out[s:s + B])))
+                f.write("\n")
 
     def read_graph_from_file(self, path):
         """Rebuild the graph from a unitig checkpoint, deriving each twin

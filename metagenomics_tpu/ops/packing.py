@@ -110,16 +110,26 @@ def qc_mask(codes, lengths, min_overlap: int):
 
 
 def reverse_complement_codes_np(codes: np.ndarray,
-                                lengths: np.ndarray) -> np.ndarray:
+                                lengths: np.ndarray,
+                                out: np.ndarray = None) -> np.ndarray:
     """Host (numpy) twin of reverse_complement_codes — identical semantics,
     no XLA compile cost.  Used on the ingest path; tests assert equality
-    with the device kernel."""
+    with the device kernel.  Pass `out` (may be a view) to fill a
+    preallocated destination without a full-size transient."""
     n, lmax = codes.shape
     lengths = np.asarray(lengths)
+    if out is None:
+        out = np.empty((n, lmax), dtype=np.uint8)
     if n and int(lengths.min()) == lmax:
-        # uniform-length fast path: no padding anywhere, RC is a mirror
-        return (3 - codes[:, ::-1]).astype(np.uint8)
-    out = np.empty((n, lmax), dtype=np.uint8)
+        # uniform-length fast path: no padding anywhere, RC is a mirror.
+        # chunked subtract-into-out keeps transients row-block bounded
+        # (one full-size intermediate would add ~2x the code bytes of
+        # peak RSS at metagenome scale)
+        step = 1 << 16
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            np.subtract(3, codes[s:e, ::-1], out=out[s:e])
+        return out
     k = np.arange(lmax)[None, :]
     # row-chunked: the [rows, lmax] int64 index matrix would be 8x the
     # code bytes if built for the whole dataset at once
