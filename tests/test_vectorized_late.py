@@ -1,0 +1,155 @@
+"""Unit tests for the round-3 vectorized late-phase helpers: each one is
+checked against a direct transliteration of the reference's scalar loop
+(OverlapGraph.cpp / Dataset.cpp spans noted per test)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from metagenomics_tpu.dataset import Dataset
+from metagenomics_tpu.graph.simplify import edit_distance
+from metagenomics_tpu.ops import packing
+from metagenomics_tpu.ops.device_overlap import (pack_codes_host,
+                                                 _unpack_codes)
+
+
+def _ref_edit_distance(s1, s2):
+    """Cell-loop Levenshtein (OverlapGraph.cpp:1736-1773)."""
+    m, n = len(s1), len(s2)
+    if m == 0:
+        return n
+    if n == 0:
+        return m
+    costs = list(range(n + 1))
+    for i, c1 in enumerate(s1):
+        costs[0] = i + 1
+        corner = i
+        for jj, c2 in enumerate(s2):
+            upper = costs[jj + 1]
+            if c1 == c2:
+                costs[jj + 1] = corner
+            else:
+                costs[jj + 1] = min(upper, corner, costs[jj]) + 1
+            corner = upper
+    return costs[n]
+
+
+def test_edit_distance_fuzz_vs_cell_loop():
+    rng = random.Random(7)
+    for _ in range(400):
+        s1 = bytes(rng.choice(b"ACGT") for _ in range(rng.randrange(0, 50)))
+        s2 = bytes(rng.choice(b"ACGT") for _ in range(rng.randrange(0, 50)))
+        assert edit_distance(s1, s2) == _ref_edit_distance(s1, s2)
+
+
+def test_pack_codes_host_roundtrip_and_device_layout():
+    rng = np.random.default_rng(3)
+    for lmax in (16, 37, 100):
+        codes = rng.integers(0, 4, (40, lmax)).astype(np.uint8)
+        words = pack_codes_host(codes)
+        assert words.shape == (40, (lmax + 15) // 16)
+        back = np.asarray(_unpack_codes(words, lmax))
+        np.testing.assert_array_equal(back, codes)
+
+
+def test_reverse_complement_out_param_matches_plain():
+    rng = np.random.default_rng(4)
+    # uniform-length fast path and the ragged slow path, with out= views
+    for lens_spec in ([30] * 20, list(rng.integers(5, 30, 20))):
+        lens = np.asarray(lens_spec, np.int64)
+        lmax = int(lens.max())
+        codes = np.full((len(lens), lmax), packing.PAD_CODE, np.uint8)
+        for i, ln in enumerate(lens):
+            codes[i, :ln] = rng.integers(0, 4, ln)
+        plain = packing.reverse_complement_codes_np(codes, lens)
+        dest = np.full((len(lens) + 1, lmax), 7, np.uint8)
+        got = packing.reverse_complement_codes_np(codes, lens,
+                                                  out=dest[1:])
+        assert got.base is dest
+        np.testing.assert_array_equal(dest[1:], plain)
+        assert (dest[0] == 7).all()
+
+
+def _toy_pe_dataset(tmp_path):
+    """Small interleaved PE file with duplicate and RC'd reads."""
+    rng = random.Random(11)
+    comp = str.maketrans("ACGT", "TGCA")
+    g = "".join(rng.choice("ACGT") for _ in range(800))
+    reads = []
+    for pos in range(0, 500, 9):
+        frag = g[pos:pos + 260]
+        r1, r2 = frag[:60], frag[-60:].translate(comp)[::-1]
+        if rng.random() < 0.5:
+            reads.append((r1, r2))
+        else:
+            reads.append((r2, r1))
+    path = tmp_path / "pe.fasta"
+    with open(path, "w") as f:
+        for i, (a, b) in enumerate(reads):
+            f.write(">a%d\n%s\n>b%d\n%s\n" % (i, a, i, b))
+    return str(path)
+
+
+def test_store_mate_pairs_matches_scalar_reference(tmp_path):
+    """The vectorized second pass must reproduce the reference's per-pair
+    find/remap/orient/dedup semantics (Dataset.cpp:208-310) exactly."""
+    from metagenomics_tpu.io.fastx import fastx_pairs
+
+    path = _toy_pe_dataset(tmp_path)
+    ds = Dataset([path], [], 40, log=lambda *a, **k: None)
+    ds.super_read_id[:] = 0
+    ds.read_mate_pairs_from_file()
+
+    # scalar oracle
+    def test_read(s):
+        cnt = {c: 0 for c in "ACGT"}
+        for ch in s:
+            if ch not in cnt:
+                return False
+            cnt[ch] += 1
+        thr = int(len(s) * 0.8)
+        return not any(v >= thr for v in cnt.values())
+
+    oracle = {}
+    order = []
+    for s1, s2 in fastx_pairs(path):
+        if not (len(s1) > 40 and len(s2) > 40 and test_read(s1)
+                and test_read(s2)):
+            continue
+        r1 = ds.find_read_id(s1)
+        r2 = ds.find_read_id(s2)
+        o1 = 1 if s1.encode() in ds.read_strs[r1] else 0
+        o2 = 1 if s2.encode() in ds.read_strs[r2] else 0
+        for rid, mate, orient in ((r1, r2, o1 * 2 + o2),
+                                  (r2, r1, o1 + o2 * 2)):
+            key = (rid, mate, orient, 0)
+            if key not in oracle:
+                oracle[key] = True
+                order.append(key)
+
+    got = []
+    for i in range(1, ds.number_of_unique_reads + 1):
+        for mp in ds.mate_pair_lists[i]:
+            got.append((i, mp.mate_id, mp.orientation, mp.dataset))
+    assert sorted(got) == sorted(order)
+
+    # flattened arrays must be in reference iteration order
+    flat = list(zip(ds.mp_rid.tolist(), ds.mp_mate.tolist(),
+                    ds.mp_orient.tolist(), ds.mp_dataset.tolist()))
+    assert flat == got
+
+
+def test_batch_find_ids_matches_scalar_and_raises(tmp_path):
+    path = _toy_pe_dataset(tmp_path)
+    ds = Dataset([path], [], 40, log=lambda *a, **k: None)
+    n = ds.number_of_unique_reads
+    # every dataset read must be found at its own id
+    q = ds.sort_limbs.astype(np.uint64)
+    ids = ds._batch_find_ids(q)
+    np.testing.assert_array_equal(ids, np.arange(1, n + 1))
+    # a missing key raises like getReadFromString (Dataset.cpp:454)
+    bad = q[:1].copy()
+    bad[0, -1] ^= np.uint64(1)
+    with pytest.raises(KeyError):
+        ds._batch_find_ids(bad)
