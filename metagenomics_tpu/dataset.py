@@ -154,35 +154,20 @@ class Dataset:
     CHUNK_READS = 1 << 16
 
     def _read_file(self, path, dataset_number):
-        """Stream one file through fixed-size QC/canonicalize batches.
+        """Ingest one file through fixed-size QC/canonicalize batches.
         Returns lists of per-chunk canonical code arrays and lengths (the
-        only data kept; raw text and ASCII transients are chunk-bounded)."""
+        only data kept; raw text and ASCII transients are chunk-bounded).
+
+        Strict 2-line FASTA files take a byte-level numpy fast path; any
+        deviation (FASTQ, multi-line or blank-line FASTA) falls back to the
+        reference-semantics stream parser (io/fastx.py)."""
         self.log("Reading dataset: %d from file: %s" % (dataset_number, path))
         chunks_codes = []
         chunks_lens = []
-        buf = bytearray()
-        lens = []
-        n = 0
         good = 0
 
-        def flush():
-            nonlocal buf, lens, good
-            if not lens:
-                return
-            lengths = np.asarray(lens, dtype=np.int64)
-            m = len(lens)
-            lmax = max(int(lengths.max()), 1)
-            flat = np.frombuffer(bytes(buf) + b"\0", dtype=np.uint8)
-            if int(lengths.min()) == lmax:
-                # uniform lengths: the flat buffer IS the matrix
-                ascii_arr = flat[:m * lmax].reshape(m, lmax)
-            else:
-                offsets = np.zeros(m, dtype=np.int64)
-                np.cumsum(lengths[:-1], out=offsets[1:])
-                pos = np.minimum(offsets[:, None] + np.arange(lmax)[None, :],
-                                 len(flat) - 1)
-                ascii_arr = np.where(
-                    np.arange(lmax)[None, :] < lengths[:, None], flat[pos], 0)
+        def qc_canon_batch(ascii_arr, lengths):
+            nonlocal good
             codes = packing.ascii_to_codes(ascii_arr, lengths)
             # host twins of the device kernels: ingest is IO-bound host
             # work, so paying an XLA compile here buys nothing (equality
@@ -202,17 +187,61 @@ class Dataset:
                     else max(self.longest_read_length, int(glens.max())))
                 chunks_codes.append(canon)
                 chunks_lens.append(glens)
+
+        fast = self._scan_two_line_fasta(path)
+        if fast is not None:
+            arr, seq_starts, seq_lens = fast
+            n = len(seq_starts)
+            B = self.CHUNK_READS
+            for s in range(0, n, B):
+                e = min(s + B, n)
+                ls = seq_lens[s:e]
+                os_ = seq_starts[s:e]
+                lmax = max(int(ls.max()), 1) if e > s else 1
+                k = np.arange(lmax)[None, :]
+                if int(ls.min()) == lmax:
+                    ascii_arr = arr[os_[:, None] + k]
+                else:
+                    pos = np.minimum(os_[:, None] + k, len(arr) - 1)
+                    ascii_arr = np.where(k < ls[:, None], arr[pos], 0)
+                qc_canon_batch(ascii_arr, ls)
+        else:
             buf = bytearray()
             lens = []
+            n = 0
 
-        for s in fastx_records(path):
-            b = s.encode()
-            buf += b
-            lens.append(len(b))
-            n += 1
-            if len(lens) >= self.CHUNK_READS:
-                flush()
-        flush()
+            def flush():
+                nonlocal buf, lens
+                if not lens:
+                    return
+                lengths = np.asarray(lens, dtype=np.int64)
+                m = len(lens)
+                lmax = max(int(lengths.max()), 1)
+                flat = np.frombuffer(bytes(buf) + b"\0", dtype=np.uint8)
+                if int(lengths.min()) == lmax:
+                    # uniform lengths: the flat buffer IS the matrix
+                    ascii_arr = flat[:m * lmax].reshape(m, lmax)
+                else:
+                    offsets = np.zeros(m, dtype=np.int64)
+                    np.cumsum(lengths[:-1], out=offsets[1:])
+                    pos = np.minimum(
+                        offsets[:, None] + np.arange(lmax)[None, :],
+                        len(flat) - 1)
+                    ascii_arr = np.where(
+                        np.arange(lmax)[None, :] < lengths[:, None],
+                        flat[pos], 0)
+                qc_canon_batch(ascii_arr, lengths)
+                buf = bytearray()
+                lens = []
+
+            for s in fastx_records(path):
+                b = s.encode()
+                buf += b
+                lens.append(len(b))
+                n += 1
+                if len(lens) >= self.CHUNK_READS:
+                    flush()
+            flush()
 
         bad = n - good
         self.number_of_reads += good
@@ -221,6 +250,37 @@ class Dataset:
         self.log("%10d total reads in current dataset." % n)
         self.log("%10d good reads in all datasets." % self.number_of_reads)
         return chunks_codes, chunks_lens
+
+    @staticmethod
+    def _scan_two_line_fasta(path):
+        """Byte-level scan of a strict 2-line FASTA: every record exactly
+        one '>' header line + one sequence line.  Returns (uppercased byte
+        array, sequence line starts, sequence lengths) or None when the
+        layout deviates in any way — exact line alternation is validated,
+        so the fallback stream parser handles every other shape."""
+        with open(path, "rb") as f:
+            data = f.read()
+        if not data.startswith(b">"):
+            return None
+        data = data.upper()             # reference uppercases per line
+        if not data.endswith(b"\n"):
+            data += b"\n"
+        arr = np.frombuffer(data, np.uint8)
+        nl = np.flatnonzero(arr == 10)
+        nlines = len(nl)
+        if nlines == 0 or nlines % 2:
+            return None
+        starts = np.empty(nlines, np.int64)
+        starts[0] = 0
+        starts[1:] = nl[:-1] + 1
+        gt = np.uint8(ord(">"))
+        if not (arr[starts[0::2]] == gt).all():
+            return None
+        seq_starts = starts[1::2]
+        if (arr[seq_starts] == gt).any():
+            return None
+        seq_lens = nl[1::2] - seq_starts
+        return arr, seq_starts, seq_lens
 
     # ------------------------------------------------------- sort/dedup/index
 

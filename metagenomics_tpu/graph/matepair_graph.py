@@ -88,43 +88,45 @@ class MatePairGraph:
         checkForScaffold over getListOfFeasibleEdges.  Tally keyed by the
         directed pair (end of a -> start of b), exactly the scaffolder's
         (list1[0].reverse, list2[0]) convention (OverlapGraph.cpp:2120-2195)."""
+        import numpy as np
         g = self.graph
         ds = g.ds
         tally = {}
         order = []
-        for i in range(1, ds.number_of_unique_reads + 1):
-            for mp in ds.mate_pair_lists[i]:
-                r2 = mp.mate_id
-                if i > r2:
-                    continue
-                orient = mp.orientation
-                d = mp.dataset
-                if orient in (0, 1):
-                    list1, loc1 = ds.edges_forward[i], ds.loc_forward[i]
-                else:
-                    list1, loc1 = ds.edges_reverse[i], ds.loc_reverse[i]
-                if orient in (0, 2):
-                    list2, loc2 = ds.edges_forward[r2], ds.loc_forward[r2]
-                else:
-                    list2, loc2 = ds.edges_reverse[r2], ds.loc_reverse[r2]
-                if len(list1) != 1 or len(list2) != 1:
-                    continue
-                if loc1[0] + loc2[0] >= g.get_mean(d) + 3 * g.get_sd(d):
-                    continue
-                a, b = list1[0].reverse, list2[0]
-                if a is b or a is b.reverse:
-                    continue
-                if not a.list_reads or not b.list_reads:
-                    continue                      # composite edges only
-                key = (id(a), id(b))
-                gap = loc1[0] + loc2[0]
-                if key not in tally:
-                    tally[key] = (a, b, [], [], [])
-                    order.append(key)
-                _, _, srcs, dsts, gaps = tally[key]
-                srcs.append(i)
-                dsts.append(r2)
-                gaps.append(gap)
+        ef, er = ds.edges_forward, ds.edges_reverse
+        lf, lr = ds.loc_forward, ds.loc_reverse
+        window = [g.get_mean(d) + 3 * g.get_sd(d)
+                  for d in range(len(g.mean_of_insert_sizes))]
+        sel = np.flatnonzero(ds.mp_rid <= ds.mp_mate)
+        for i, r2, orient, d in zip(
+                ds.mp_rid[sel].tolist(), ds.mp_mate[sel].tolist(),
+                ds.mp_orient[sel].tolist(), ds.mp_dataset[sel].tolist()):
+            if orient in (0, 1):
+                list1, loc1 = ef[i], lf[i]
+            else:
+                list1, loc1 = er[i], lr[i]
+            if orient in (0, 2):
+                list2, loc2 = ef[r2], lf[r2]
+            else:
+                list2, loc2 = er[r2], lr[r2]
+            if len(list1) != 1 or len(list2) != 1:
+                continue
+            if loc1[0] + loc2[0] >= window[d]:
+                continue
+            a, b = list1[0].reverse, list2[0]
+            if a is b or a is b.reverse:
+                continue
+            if not a.list_reads or not b.list_reads:
+                continue                      # composite edges only
+            key = (id(a), id(b))
+            gap = loc1[0] + loc2[0]
+            if key not in tally:
+                tally[key] = (a, b, [], [], [])
+                order.append(key)
+            _, _, srcs, dsts, gaps = tally[key]
+            srcs.append(i)
+            dsts.append(r2)
+            gaps.append(gap)
         return [tally[k] for k in order]
 
     def build(self):
