@@ -153,3 +153,29 @@ def test_batch_find_ids_matches_scalar_and_raises(tmp_path):
     bad[0, -1] ^= np.uint64(1)
     with pytest.raises(KeyError):
         ds._batch_find_ids(bad)
+
+
+def _load(tmp_path, content, name="f.fasta"):
+    p = tmp_path / name
+    p.write_bytes(content)
+    ds = Dataset([], [str(p)], 5, log=lambda *a, **k: None)
+    return [ds.read_strs[i].decode()
+            for i in range(1, ds.number_of_unique_reads + 1)]
+
+
+def test_fast_fasta_matches_stream_parser(tmp_path):
+    """The byte-level 2-line FASTA path and the stream parser must load the
+    same canonical read set; deviant layouts must fall back cleanly."""
+    two_line = b">a\nACGTACGTAC\n>b\nGGGTTTACCA\n"
+    lower = b">a\nacgtacgtac\n>b\nggGtttACca\n"
+    multi_line = b">a\nACGTA\nCGTAC\n>b\nGGGTTTACCA\n"
+    no_trailing_nl = b">a\nACGTACGTAC\n>b\nGGGTTTACCA"
+    base = _load(tmp_path, two_line, "a.fasta")
+    assert base  # loaded something
+    assert _load(tmp_path, lower, "b.fasta") == base
+    # multi-line concatenates to the same sequences via the fallback
+    assert _load(tmp_path, multi_line, "c.fasta") == base
+    assert _load(tmp_path, no_trailing_nl, "d.fasta") == base
+    # scan must reject the multi-line layout (fallback, not fast path)
+    assert Dataset._scan_two_line_fasta(str(tmp_path / "c.fasta")) is None
+    assert Dataset._scan_two_line_fasta(str(tmp_path / "a.fasta")) is not None
