@@ -472,12 +472,13 @@ class Dataset:
         late phases iterate mate pairs many times; array iteration avoids
         per-entry attribute/dict lookups.  Immutable after this point."""
         rid, mate, ori, dsn = [], [], [], []
-        for i in range(1, self.number_of_unique_reads + 1):
-            for mp in self.mate_pair_lists[i]:
-                rid.append(i)
-                mate.append(mp.mate_id)
-                ori.append(mp.orientation)
-                dsn.append(mp.dataset)
+        if self.pe_files:
+            for i in range(1, self.number_of_unique_reads + 1):
+                for mp in self.mate_pair_lists[i]:
+                    rid.append(i)
+                    mate.append(mp.mate_id)
+                    ori.append(mp.orientation)
+                    dsn.append(mp.dataset)
         self.mp_rid = np.asarray(rid, np.int64)
         self.mp_mate = np.asarray(mate, np.int64)
         self.mp_orient = np.asarray(ori, np.int64)
