@@ -382,23 +382,26 @@ def measure_native():
 
 def measure_device_subprocess():
     """Run the device-pipeline measurement in a subprocess on the default
-    (TPU) backend; returns the parsed result dict or None."""
+    (TPU) backend; returns the parsed result dict or None.  One retry if
+    the subprocess dies (the tunneled TPU runtime occasionally drops the
+    connection mid-run)."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)   # let the TPU backend claim the device
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--device"],
-            capture_output=True, text=True, timeout=3600, env=env)
-    except subprocess.TimeoutExpired:
-        return None
-    for line in reversed(proc.stdout.strip().splitlines()):
+    for _attempt in range(2):
         try:
-            d = json.loads(line)
-            if "backend" in d:
-                return d
-        except ValueError:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--device"],
+                capture_output=True, text=True, timeout=3600, env=env)
+        except subprocess.TimeoutExpired:
             continue
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+                if "backend" in d:
+                    return d
+            except ValueError:
+                continue
     return None
 
 
