@@ -550,7 +550,14 @@ class Dataset:
         sup = self.super_read_id[rid]
         remap = sup != 0
         rid = np.where(remap, sup, rid)
-        orient = (~flipped).astype(np.int64)
+        # Orientation is the reference's substring probe (Dataset.cpp:294-298):
+        # for a non-contained read the stored string is the equal-length
+        # canonical form, so `s in stored` == rowwise equality.  Comparing
+        # canon against the forward codes (not ~flipped) keeps palindromic
+        # (self-RC) reads forward: their tie path reports flipped=True even
+        # though the forward string matches the stored string.
+        orient = (canon == codes[sel]).all(axis=1).astype(np.int64)
+        del flipped
         if remap.any():
             # contained reads: the super read is longer, use the reference's
             # substring probe on the original (non-canonical) string

@@ -84,6 +84,14 @@ def _toy_pe_dataset(tmp_path):
             reads.append((r1, r2))
         else:
             reads.append((r2, r1))
+    # palindromic (self-reverse-complement) reads: the canonicalize tie path
+    # reports flipped=True but the forward string matches the stored string,
+    # so the reference's substring probe yields orientation 1 (ADVICE r3)
+    half = "".join(rng.choice("ACGT") for _ in range(30))
+    pal = half + half.translate(comp)[::-1]
+    assert pal == pal.translate(comp)[::-1]
+    reads.append((pal, g[100:160]))
+    reads.append((g[300:360], pal))
     path = tmp_path / "pe.fasta"
     with open(path, "w") as f:
         for i, (a, b) in enumerate(reads):
