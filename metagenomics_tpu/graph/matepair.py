@@ -57,35 +57,31 @@ class MatePairMixin:
         n = ds.number_of_unique_reads
         ndatasets = len(ds.pe_files)
 
-        # Location table built EDGE-major (update_read_locations is the only
-        # writer of the per-read lists, so enumerating every live edge's
-        # manifest with running-offset distances reproduces the same
-        # (read -> {edge, loc}) multiset without touching 2n Python lists).
-        # The edge token is its construction serial (unique per Edge object,
-        # so token equality == the reference's pointer identity).
-        tok_chunks = []
-        rid_chunks = []
-        dist_chunks = []
-        for adj_list in self.adj:
-            for e in adj_list:
-                mr = e.list_reads
-                if not mr:
-                    continue
-                d = np.cumsum(np.asarray(e.list_offsets, np.int64))
-                rid_chunks.append(np.asarray(mr, np.int64))
-                dist_chunks.append(d)
-                tok_chunks.append(np.full(len(mr), e.serial, np.int64))
-        if tok_chunks:
-            rid_all = np.concatenate(rid_chunks)
-            order = np.argsort(rid_all, kind="stable")
-            rid_all = rid_all[order]
-            toks = np.concatenate(tok_chunks)[order]
-            locs = np.concatenate(dist_chunks)[order]
-            counts = np.bincount(rid_all, minlength=n + 1)
-        else:
-            toks = np.zeros(0, np.int64)
-            locs = np.zeros(0, np.int64)
-            counts = np.zeros(n + 1, np.int64)
+        # Location table built from the materialized per-read lists
+        # (Read.h:39-42), NOT re-derived from live adj edges: because
+        # remove_read_locations is bug-compatible with the reference's
+        # swap-with-last index skip (OverlapGraph.cpp:1079-1115), a read
+        # appearing 2+ times in one edge's manifest can keep a stale entry
+        # for a removed edge, and the reference's scan (:1149-1161)
+        # concatenates exactly these lists (forward then reverse) and sees
+        # the stale entries too.  The edge token is its construction serial
+        # (unique per Edge object == pointer identity; the stale list
+        # reference keeps the Python object alive, so serials never alias).
+        counts = np.zeros(n + 1, np.int64)
+        tok_list = []
+        loc_list = []
+        for i in range(1, n + 1):
+            ef, er = ds.edges_forward[i], ds.edges_reverse[i]
+            c = len(ef) + len(er)
+            if not c:
+                continue
+            counts[i] = c
+            tok_list.extend(e.serial for e in ef)
+            tok_list.extend(e.serial for e in er)
+            loc_list.extend(ds.loc_forward[i])
+            loc_list.extend(ds.loc_reverse[i])
+        toks = np.asarray(tok_list, np.int64)
+        locs = np.asarray(loc_list, np.int64)
         indptr = np.zeros(n + 2, np.int64)
         np.cumsum(counts, out=indptr[1:])
 

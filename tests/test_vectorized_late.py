@@ -148,6 +148,88 @@ def test_store_mate_pairs_matches_scalar_reference(tmp_path):
     assert flat == got
 
 
+def _scalar_insert_size(ds):
+    """Transliteration of calculateMeanAndSdOfInsertSize (OverlapGraph.cpp:
+    1124-1211): walks the per-read fwd+rev location lists, including any
+    stale entries left by the swap-with-last removal bug."""
+    import math
+    M64 = (1 << 64) - 1
+    means, sds = [], []
+    for d in range(len(ds.pe_files)):
+        sizes = []
+        for i in range(1, ds.number_of_unique_reads + 1):
+            for mp in ds.mate_pair_lists[i]:
+                if mp.dataset != d:
+                    continue
+                e1 = ds.edges_forward[i] + ds.edges_reverse[i]
+                l1 = ds.loc_forward[i] + ds.loc_reverse[i]
+                r2 = mp.mate_id
+                e2 = ds.edges_forward[r2] + ds.edges_reverse[r2]
+                l2 = ds.loc_forward[r2] + ds.loc_reverse[r2]
+                for k in range(len(e1)):
+                    for ll in range(len(e2)):
+                        if (e1[k] is e2[ll] and l1[k] > l2[ll]
+                                and l1[k] - l2[ll] < 1000):
+                            sizes.append(l1[k] - l2[ll])
+        if not sizes:
+            means.append(0)
+            sds.append(0)
+            continue
+        mean = sum(sizes) // len(sizes)
+        var = 0
+        for s in sizes:
+            dev = (mean - s) & M64
+            var = (var + dev * dev) & M64
+        means.append(mean)
+        sds.append(int(math.sqrt(var // len(sizes))))
+    return means, sds
+
+
+def test_insert_size_reads_materialized_location_lists(tmp_path):
+    """The vectorized insert-size estimator must read the materialized
+    per-read location lists (the reference's scan, OverlapGraph.cpp:
+    1149-1161, concatenates exactly those), not re-derive the index from
+    live adj edges: an entry for a dead (removed) edge still counts."""
+    import os
+    from metagenomics_tpu.config import AssemblerConfig
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.graph import OverlapGraph
+    from metagenomics_tpu.graph.core import Edge
+    from metagenomics_tpu.index import OverlapIndex
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "golden", "data", "pe_small.fasta")
+    quiet = lambda *a, **k: None
+    ds = Dataset([path], [], 40, log=quiet)
+    cfg = AssemblerConfig(min_overlap=40, paired_end_files=[path])
+    graph = OverlapGraph(ds, cfg, log=quiet)
+    graph.build_from_index(OverlapIndex(ds, 40))
+
+    def run():
+        graph.mean_of_insert_sizes = []
+        graph.sd_of_insert_sizes = []
+        graph.calculate_mean_and_sd_of_insert_size()
+        return list(graph.mean_of_insert_sizes), list(graph.sd_of_insert_sizes)
+
+    base = run()
+    assert base == _scalar_insert_size(ds)
+
+    # plant a dangling entry for a dead edge on both sides of a mate pair;
+    # the reference's per-read scan counts it, a live-edge rebuild cannot
+    r1 = next(i for i in range(1, ds.number_of_unique_reads + 1)
+              if ds.mate_pair_lists[i])
+    r2 = ds.mate_pair_lists[r1][0].mate_id
+    for k in range(30):
+        dead = Edge(graph, r1, r2, 1, 400)
+        ds.edges_forward[r1].append(dead)
+        ds.loc_forward[r1].append(999)
+        ds.edges_reverse[r2].append(dead)
+        ds.loc_reverse[r2].append(0)
+    mutated = run()
+    assert mutated == _scalar_insert_size(ds)
+    assert mutated != base  # the planted entry changed the statistics
+
+
 def test_batch_find_ids_matches_scalar_and_raises(tmp_path):
     path = _toy_pe_dataset(tmp_path)
     ds = Dataset([path], [], 40, log=lambda *a, **k: None)
