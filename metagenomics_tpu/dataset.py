@@ -277,7 +277,10 @@ class Dataset:
         if not (arr[starts[0::2]] == gt).all():
             return None
         seq_starts = starts[1::2]
-        if (arr[seq_starts] == gt).any():
+        # any '>' beyond the one per header line (embedded mid-line) would
+        # split the record under the reference's getline(file, '>') parse
+        # (Dataset.cpp:142-146) — fall back to the stream parser there
+        if int((arr == gt).sum()) != len(starts[0::2]):
             return None
         seq_lens = nl[1::2] - seq_starts
         return arr, seq_starts, seq_lens

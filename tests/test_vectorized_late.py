@@ -269,3 +269,16 @@ def test_fast_fasta_matches_stream_parser(tmp_path):
     # scan must reject the multi-line layout (fallback, not fast path)
     assert Dataset._scan_two_line_fasta(str(tmp_path / "c.fasta")) is None
     assert Dataset._scan_two_line_fasta(str(tmp_path / "a.fasta")) is not None
+    # '>' embedded mid-line splits the record under the reference's
+    # getline(file, '>') parse — the fast path must reject and fall back
+    embedded = b">a\nAC>GT\n>b\nGGGTTTACCA\n"
+    (tmp_path / "e.fasta").write_bytes(embedded)
+    assert Dataset._scan_two_line_fasta(str(tmp_path / "e.fasta")) is None
+    ds_e = Dataset([], [str(tmp_path / "e.fasta")], 2,
+                   log=lambda *a, **k: None)
+    strs = sorted(ds_e.read_strs[i].decode()
+                  for i in range(1, ds_e.number_of_unique_reads + 1))
+    # reference semantics: record 1 = "AC", the rest of the line becomes
+    # record 2's header and "GGGTTTACCA" its sequence
+    assert "GGGTTTACCA" in strs or "TGGTAAACCC" in strs
+    assert not any(">" in s for s in strs)
