@@ -94,6 +94,11 @@ class OverlapIndex:
         counts = right - left
         nz = counts > 0
         i_arr, jpos, left, counts = i_arr[nz], jpos[nz], left[nz], counts[nz]
+        if len(counts) == 0:
+            # every probe missed (bloom false positives only) — the repeat
+            # broadcast below needs at least one row
+            z = np.zeros(0, np.int64)
+            return CandidateBatch(z, z, z, np.zeros(0, np.uint8))
 
         r1 = np.repeat(i_arr, counts)
         j = np.repeat(jpos, counts)

@@ -407,8 +407,11 @@ struct Result {
 // Full overlap-detection engine (exact 128-bit l-mer keys), the host
 // equivalent of the reference's HashTable + probe loops
 // (MetaGenomics/HashTable.cpp:50-221, OverlapGraph.cpp:225-290, 529-565).
-// Exact keys mean the seed always matches, so verification only compares the
-// extension, exactly like the reference's checkOverlap (:354-383).
+// For l <= 64 the key covers the whole seed, so verification only compares
+// the extension, exactly like the reference's checkOverlap (:354-383).  For
+// l > 64 the 128-bit key covers only the LAST 64 seed bases; verification
+// then also memcmps the first l-64 seed bases, mirroring the reference's
+// full-string recheck per hash slot (HashTable.cpp:207-219).
 // ---------------------------------------------------------------------------
 
 typedef unsigned __int128 key_t128;
@@ -502,6 +505,14 @@ static void scan_reads(
                 const uint8_t *s2 = (orient <= 1 ? codes_fwd : codes_rev)
                                     + (int64_t)r2 * lmax;
                 bool is_pre = (orient == 0 || orient == 2);
+                if (l > 64) {
+                    // the key covers only the last 64 seed bases; re-check
+                    // the uncovered prefix of the seed against s2's seed
+                    // (prefix candidates: s2[0..l), suffix: s2[len2-l..len2))
+                    const uint8_t *seed2 = is_pre ? s2 : s2 + (len2 - l);
+                    if (memcmp(s1 + j, seed2, (size_t)(l - 64)) != 0)
+                        continue;
+                }
                 // edge verification (checkOverlap, extension only)
                 bool edge_ok;
                 if (is_pre) {
@@ -801,7 +812,9 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
             return a.key < b.key;
         };
         if (n_threads >= 2 && idx.size() > 1u << 16) {
-            const key_t128 top = (key_t128)1 << (2 * l - 1);
+            // top *stored* key bit: keys truncate to 128 bits for l > 64
+            const int kb = (2 * (int)l >= 128) ? 128 : 2 * (int)l;
+            const key_t128 top = (key_t128)1 << (kb - 1);
             std::vector<IndexEntry> lo, hi;
             lo.reserve(idx.size());
             hi.reserve(idx.size());
@@ -827,8 +840,10 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
     }
     // range table over the top bits of the key: narrows the binary search
     // to a handful of entries
-    const int TBITS = (2 * (int)l >= 20) ? 20 : 2 * (int)l;
-    const int range_shift = 2 * (int)l - TBITS;
+    // shifts are over the *stored* (<=128-bit) key width, not 2*l
+    const int key_bits = (2 * (int)l >= 128) ? 128 : 2 * (int)l;
+    const int TBITS = (key_bits >= 20) ? 20 : key_bits;
+    const int range_shift = key_bits - TBITS;
     std::vector<uint32_t> range_tab((1ULL << TBITS) + 1, 0);
     for (const IndexEntry &e : idx)
         range_tab[(uint64_t)(e.key >> range_shift) + 1]++;
