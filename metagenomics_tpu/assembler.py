@@ -83,6 +83,11 @@ class Assembler:
         with self._timer.phase("Dataset"):
             ds = Dataset(cfg.paired_end_files, cfg.single_end_files,
                          cfg.min_overlap, log=self.log)
+        if ds.number_of_unique_reads == 0:
+            # the reference segfaults in HashTable::insertDataset here; stop
+            # with a labeled diagnostic instead
+            from .errors import MyExit
+            raise MyExit("No good reads in input; nothing to assemble.")
         graph = OverlapGraph(ds, cfg, log=self.log)
         self.dataset = ds
         self.graph = graph

@@ -74,7 +74,14 @@ def main(argv=None):
     from .parallel.launcher import initialize_distributed
     initialize_distributed()
     cfg = parse_arguments(argv)
-    Assembler(cfg).run()
+    from .errors import MyExit, report_my_exit
+    try:
+        Assembler(cfg).run()
+    except MyExit as exc:
+        # labeled fatal diagnostic, reference MYEXIT parity (Common.h:47):
+        # print the block and exit 0, never a traceback
+        report_my_exit(exc)
+        raise SystemExit(0)
 
 
 if __name__ == "__main__":

@@ -128,8 +128,15 @@ class Dataset:
                    else np.zeros(0, np.int64))
         del all_lengths
 
-        self.log("Shortest read length in all datasets: %5d" % self.shortest_read_length)
-        self.log(" Longest read length in all datasets: %5d" % self.longest_read_length)
+        # with zero good reads the reference prints the untouched init
+        # values: shortest = u64 max, longest = 0 (Dataset.cpp:30-31, :61-62)
+        self.log("Shortest read length in all datasets: %5d"
+                 % (self.shortest_read_length
+                    if self.shortest_read_length is not None
+                    else (1 << 64) - 1))
+        self.log(" Longest read length in all datasets: %5d"
+                 % (self.longest_read_length
+                    if self.longest_read_length is not None else 0))
 
         self._sort_and_dedup(codes, lengths)
 
@@ -258,8 +265,13 @@ class Dataset:
         array, sequence line starts, sequence lengths) or None when the
         layout deviates in any way — exact line alternation is validated,
         so the fallback stream parser handles every other shape."""
-        with open(path, "rb") as f:
-            data = f.read()
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            from .errors import MyExit
+            # reference: MYEXIT("Unable to open file: ...") (Dataset.cpp:117)
+            raise MyExit("Unable to open file: " + path) from None
         if not data.startswith(b">"):
             return None
         data = data.upper()             # reference uppercases per line
@@ -290,6 +302,9 @@ class Dataset:
     def _sort_and_dedup(self, codes, lengths):
         n, lmax = codes.shape
         limbs = packing.pack_sort_limbs(codes, lengths)
+        if limbs.shape[1] == 0:
+            # zero good reads: no sort keys exist (lexsort requires >= 1)
+            limbs = np.zeros((n, 1), dtype=np.uint64)
         order = np.lexsort(tuple(limbs[:, k] for k in range(limbs.shape[1] - 1, -1, -1)))
         limbs = limbs[order]
         codes = codes[order]

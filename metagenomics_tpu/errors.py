@@ -1,0 +1,37 @@
+"""Reference-style fatal diagnostics.
+
+The reference's MYEXIT macro (MetaGenomics/Common.h:47) prints
+
+    Exit from File: <file> Line: <line> Function: <fn>()
+    Message: <msg>
+
+and exits with status 0; the bundled CS2 solver instead prints "Error <n>"
+to stderr and exits with that code on an infeasible instance (cs2.h:346).
+`MyExit` carries the former; the CLI driver renders it and exits 0 so
+degenerate inputs produce a labeled diagnostic, never a traceback.
+"""
+
+import sys
+
+
+class MyExit(Exception):
+    """Fatal assembler diagnostic (MYEXIT parity, Common.h:47)."""
+
+
+def report_my_exit(exc: MyExit, out=None) -> None:
+    """Print the MYEXIT block for `exc` using its raise site."""
+    out = out or sys.stdout
+    tb = exc.__traceback__
+    file_name = "?"
+    line = 0
+    func = "?"
+    if tb is not None:
+        while tb.tb_next is not None:
+            tb = tb.tb_next
+        file_name = tb.tb_frame.f_code.co_filename
+        line = tb.tb_lineno
+        func = tb.tb_frame.f_code.co_name
+    msg = exc.args[0] if exc.args else ""
+    out.write("\nExit from File: %s Line: %d Function: %s()\nMessage: %s\n"
+              % (file_name, line, func, msg))
+    out.flush()

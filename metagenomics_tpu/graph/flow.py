@@ -129,7 +129,16 @@ class FlowMixin:
             f.write("".join(lines))
 
         self.log("Calling min-cost-flow solver")
-        flows = solve_min_cost_flow(v, arcs)
+        try:
+            flows = solve_min_cost_flow(v, arcs)
+        except ValueError:
+            # infeasible circulation (e.g. an empty graph leaves the lb=1
+            # return arc with no residual path).  CS2 prints "Error 2" to
+            # stderr and exits with that code (cs2.h:346); match it instead
+            # of tracebacking.
+            import sys
+            sys.stderr.write("\nError 2\n")
+            raise SystemExit(2)
         self.log("Min-cost-flow solver finished")
 
         with open(output_path, "w") as f:

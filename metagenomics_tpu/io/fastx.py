@@ -61,15 +61,22 @@ class _Stream:
 
 
 def detect_format(text: str) -> str:
+    from ..errors import MyExit
     if text[:1] == ">":
         return "fasta"
     if text[:1] == "@":
         return "fastq"
-    raise ValueError("Unknown input file format.")
+    # reference: MYEXIT("Unknown input file format.") (Dataset.cpp:135)
+    raise MyExit("Unknown input file format.")
 
 
 def _open_stream(path):
-    f = open(path)
+    try:
+        f = open(path)
+    except OSError:
+        from ..errors import MyExit
+        # reference: MYEXIT("Unable to open file: ...") (Dataset.cpp:117)
+        raise MyExit("Unable to open file: " + path) from None
     st = _Stream(f)
     st._fill()
     return f, st, detect_format(st.buf[:1])
