@@ -1,61 +1,20 @@
 """Flow phase: bidirected graph -> node-split min-cost-flow instance -> flows.
 
 Reproduces OverlapGraph::calculateFlow (OverlapGraph.cpp:1402-1575)
-byte-for-byte on the DIMACS artifact: each graph node splits into CS2 nodes
+byte-for-byte on BOTH artifacts: each graph node splits into CS2 nodes
 (2i, 2i+1), each bidirected edge becomes three parallel arc pairs whose
 bounds/costs come from calculateBoundAndCost (:1614-1638), a super
 source/sink pair ties every node in, and a single expensive return arc
-forces minimal circulation.  The solve itself runs in-process
-(mincostflow.solve_min_cost_flow) instead of through CS2's file round-trip;
-the flow.output artifact is still written, byte-identical to CS2's
-print_solution (cs2.h:1861-1882): forward arcs in the parser's
-grouped-by-tail slot order (see _cs2_print_order).
+forces minimal circulation.  The solve runs in-process through the
+trajectory-faithful epsilon-scaling push-relabel (cs2replay.py), whose
+printed triples — slot order and selection among alternate optima included
+— are byte-identical to CS2's solution file (cs2.h:1861-1882), and the
+flows are read back from those triples exactly as the reference parses the
+file (OverlapGraph.cpp:1547-1568).  The independent exact SSP solver
+(mincostflow.py) remains the cross-check oracle in the tests.
 """
 
-from ..mincostflow import solve_min_cost_flow
-
-
-def _cs2_print_order(arcs, n_nodes):
-    """Original-arc print order of CS2's solution file.
-
-    CS2's DIMACS parser stores each input arc as a (forward, sister) slot
-    pair and then groups slots by tail node with an in-place counting sort
-    whose within-bucket order comes from its cycle-chasing swaps
-    (parser_cs2.h:347-425).  print_solution (cs2.h:1861-1882) walks nodes in
-    id order emitting every slot whose stored capacity is positive — i.e.
-    exactly the forward arcs, in the permuted slot order.  This simulates
-    that permutation on the tails alone (the swaps move whole arc records,
-    so tracking the original slot id is enough) and returns the original
-    arc indices in print order.
-    """
-    m2 = 2 * len(arcs)
-    tails = [0] * m2
-    orig = list(range(m2))
-    counts = [0] * (n_nodes + 2)
-    for k, (tail, head, _, _, _) in enumerate(arcs):
-        tails[2 * k] = tail
-        tails[2 * k + 1] = head          # sister slot: head acts as tail
-        counts[tail + 1] += 1
-        counts[head + 1] += 1
-    node_min = min(tails)
-    node_max = max(tails)
-    # arc_first[i] = next free slot of node i's bucket; node_first[i] = the
-    # immutable bucket start (the parser's node->first pointers)
-    arc_first = counts[:]
-    for i in range(node_min + 1, node_max + 2):
-        arc_first[i] += arc_first[i - 1]
-    node_first = arc_first[:]
-    for i in range(node_min, node_max):
-        last = node_first[i + 1]
-        for pos in range(arc_first[i], last):
-            tail = tails[pos]
-            while tail != i:
-                new = arc_first[tail]
-                tails[pos], tails[new] = tails[new], tails[pos]
-                orig[pos], orig[new] = orig[new], orig[pos]
-                arc_first[tail] += 1
-                tail = tails[pos]
-    return [s // 2 for s in orig if s % 2 == 0]
+from ..cs2replay import CS2Error, solve_cs2
 
 
 class FlowMixin:
@@ -128,25 +87,26 @@ class FlowMixin:
         with open(input_path, "w") as f:
             f.write("".join(lines))
 
-        self.log("Calling min-cost-flow solver")
+        self.log("Calling CS2")
         try:
-            flows = solve_min_cost_flow(v, arcs)
-        except ValueError:
+            triples, _ = solve_cs2(v, arcs)
+        except CS2Error as exc:
             # infeasible circulation (e.g. an empty graph leaves the lb=1
-            # return arc with no residual path).  CS2 prints "Error 2" to
+            # return arc with no residual path).  CS2 prints "Error <n>" to
             # stderr and exits with that code (cs2.h:346); match it instead
             # of tracebacking.
             import sys
-            sys.stderr.write("\nError 2\n")
-            raise SystemExit(2)
-        self.log("Min-cost-flow solver finished")
+            sys.stderr.write("\nError %d\n" % exc.code)
+            raise SystemExit(exc.code)
+        self.log("CS2 finished")
 
         with open(output_path, "w") as f:
-            for k in _cs2_print_order(arcs, v):
-                tail, head = arcs[k][0], arcs[k][1]
-                f.write("%d %d %d\n" % (tail, head, flows[k]))
+            for tail, head, fl in triples:
+                f.write("%d %d %d\n" % (tail, head, fl))
 
-        for (tail, head, _, _, _), fl in zip(arcs, flows):
+        # read the flows back from the printed triples, like the reference's
+        # file parse (OverlapGraph.cpp:1547-1568)
+        for tail, head, fl in triples:
             if (tail != supersink and tail != supersource
                     and head != supersource and head != supersink and fl != 0):
                 my_source = node_map_rev[tail // 2]

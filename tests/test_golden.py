@@ -27,37 +27,18 @@ ARTIFACTS = [
     "graph3.gdl", "contigs3.fasta", "graph4.gdl", "contigs4.fasta",
 ]
 
-# configs where CS2's solve makes no trajectory-dependent choice, so
-# _flow.output is reproducible byte-for-byte from the parser's arc order
-FLOW_BYTE_EQUAL = {"se_small", "se_mixlen"}
-
-
 def check_flow_output(name, got_path, want_path):
-    """_flow.output parity check.
+    """_flow.output byte-parity check.
 
-    The line order of CS2's solution file is its parser's grouped-by-tail
-    slot order (simulated exactly, graph/flow.py:_cs2_print_order) FURTHER
-    permuted by the solver's price_in/price_out arc-suspension EXCHANGEs
-    (cs2.h:227,835-851,1537), and the flow SPLIT among the three
-    identical-cost parallel arcs of an edge is likewise an arbitrary
-    optimum of its epsilon-scaling trajectory — neither is a function of
-    the instance.  Where no such choice fires the files are byte-equal;
-    elsewhere we assert the strongest solver-independent invariants: the
-    same flow-triple multiset in the same grouped-by-ascending-tail layout.
+    The line order of CS2's solution file (its parser's grouped-by-tail
+    slot order permuted by the solver's price_in/price_out arc-suspension
+    EXCHANGEs) and the flow split among identical-cost parallel arcs are
+    both trajectory artifacts; the replay solver (cs2replay.py) reproduces
+    the trajectory, so the files are byte-equal on every config.
     """
     got = open(got_path, "rb").read()
     want = open(want_path, "rb").read()
-    if name in FLOW_BYTE_EQUAL:
-        assert got == want, "_flow.output mismatch: %s" % name
-        return
-    import collections
-    pg = [tuple(map(int, l.split())) for l in got.decode().splitlines()]
-    pw = [tuple(map(int, l.split())) for l in want.decode().splitlines()]
-    assert collections.Counter(pg) == collections.Counter(pw), \
-        "_flow.output flow multiset mismatch: %s" % name
-    tails = [t for t, _, _ in pg]
-    assert tails == sorted(tails), \
-        "_flow.output tails not grouped ascending: %s" % name
+    assert got == want, "_flow.output mismatch: %s" % name
 
 
 @pytest.mark.parametrize("engine", ["native", "python"])
