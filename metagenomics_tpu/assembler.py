@@ -27,9 +27,9 @@ class Assembler:
         return self._timer.timings
 
     def _timed(self, name, fn, *args):
-        """CLOCKSTART/CLOCKSTOP-wrapped phase (Common.h:52-53): wall time +
-        VmData delta, plus a jax.profiler trace when MGTPU_PROFILE_DIR is
-        set (utils/timing.py)."""
+        """Silently-timed phase for bench consumers; the reference-format
+        CLOCKSTART/CLOCKSTOP log blocks are emitted by the phase functions
+        themselves (utils/timing.py phase_clock)."""
         with self._timer.phase(name):
             result = fn(*args)
         return result
@@ -48,6 +48,13 @@ class Assembler:
         All four produce byte-identical graphs (tests/test_golden.py,
         tests/test_sharded.py).
         """
+        import os
+        from .utils.timing import phase_clock
+        with phase_clock("buildOverlapGraphFromHashTable", log=self.log,
+                         src=__file__):
+            self._build_engine(graph)
+
+    def _build_engine(self, graph):
         import os
         engine = os.environ.get("MGTPU_OVERLAP_ENGINE",
                                 getattr(self.cfg, "overlap_engine", "auto"))
@@ -99,6 +106,13 @@ class Assembler:
             graph.read_graph_from_file(prefix + ".unitig")
             graph.sort_edges()
         else:
+            # insertDataset runs before graph construction in the
+            # reference (main.cpp:45-46); the TPU pipeline replaces the
+            # string hash table with a sorted-key join, so this emits the
+            # reference's table statistics from a simulation (hashstats.py)
+            from .hashstats import emit_insert_dataset_log
+            with self._timer.phase("insertDataset"):
+                emit_insert_dataset_log(ds, cfg.min_overlap, self.log)
             self._timed("buildOverlapGraphFromHashTable", self._build, graph)
             self._timed("printDataset", ds.save_reads,
                         prefix + "_sortedReads.fasta")
@@ -115,10 +129,15 @@ class Assembler:
         graph.remove_all_simple_edges_without_flow()
         graph.calculate_mean_and_sd_of_insert_size()
 
+        BANNER = "=" * 143
+
         iteration = 0
         while True:
             iteration += 1
+            self.log("")
+            self.log(BANNER)
             self.log("FIRST LOOP ITERATION %d" % iteration)
+            self.log(BANNER)
             graph.simplify_graph()
             counter = graph.find_support_by_matepairs_and_merge()
             if not (counter > 0 and iteration < cfg.loop_limit):
@@ -128,7 +147,10 @@ class Assembler:
         iteration = 0
         while True:
             iteration += 1
+            self.log("")
+            self.log(BANNER)
             self.log("SECOND LOOP ITERATION %d" % iteration)
+            self.log(BANNER)
             graph.simplify_graph()
             counter = graph.scaffolder()
             if not (counter > 0 and iteration < cfg.loop_limit):
@@ -138,7 +160,10 @@ class Assembler:
         iteration = 0
         while True:
             iteration += 1
+            self.log("")
+            self.log(BANNER)
             self.log("THIRD LOOP ITERATION %d" % iteration)
+            self.log(BANNER)
             graph.simplify_graph()
             counter = graph.resolve_nodes()
             if not (counter > 0 and iteration < cfg.loop_limit):
@@ -146,5 +171,4 @@ class Assembler:
         graph.print_graph(prefix + "graph4.gdl", prefix + "contigs4.fasta")
 
         self.timings["total"] = time.time() - t_start
-        self.log("Assembly finished in %.3f seconds" % self.timings["total"])
         return graph

@@ -67,8 +67,11 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", platforms)
     argv = argv if argv is not None else sys.argv
+    from .utils.timing import clock_start, clock_stop
+    clk = clock_start("main", src=__file__)
     print("PRINTING ARGUMENTS")
-    print(" ".join(argv))
+    # the reference echoes each argv followed by a space (main.cpp:126)
+    print("".join(a + " " for a in argv))
     # multi-host: joins a distributed JAX runtime when MGTPU_COORDINATOR /
     # MGTPU_NUM_PROCESSES / MGTPU_PROCESS_ID are set; no-op otherwise
     from .parallel.launcher import initialize_distributed
@@ -82,6 +85,7 @@ def main(argv=None):
         # print the block and exit 0, never a traceback
         report_my_exit(exc)
         raise SystemExit(0)
+    clock_stop("main", clk)
 
 
 if __name__ == "__main__":

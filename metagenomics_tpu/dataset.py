@@ -106,11 +106,13 @@ class Dataset:
         self.shortest_read_length = None
         self.longest_read_length = None
 
+        from .utils.timing import phase_clock
         all_codes = []
         all_lengths = []
         counter = 0
         for path in self.pe_files + self.se_files:
-            chunks_codes, chunks_lens = self._read_file(path, counter)
+            with phase_clock("readDataset", log=self.log, src=__file__):
+                chunks_codes, chunks_lens = self._read_file(path, counter)
             counter += 1
             all_codes.extend(chunks_codes)
             all_lengths.extend(chunks_lens)
@@ -130,6 +132,7 @@ class Dataset:
 
         # with zero good reads the reference prints the untouched init
         # values: shortest = u64 max, longest = 0 (Dataset.cpp:30-31, :61-62)
+        self.log("")
         self.log("Shortest read length in all datasets: %5d"
                  % (self.shortest_read_length
                     if self.shortest_read_length is not None
@@ -172,9 +175,11 @@ class Dataset:
         chunks_codes = []
         chunks_lens = []
         good = 0
+        processed = 0
+        heartbeats = []   # (records, good_at_that_point) per 1e6 boundary
 
         def qc_canon_batch(ascii_arr, lengths):
-            nonlocal good
+            nonlocal good, processed
             codes = packing.ascii_to_codes(ascii_arr, lengths)
             # host twins of the device kernels: ingest is IO-bound host
             # work, so paying an XLA compile here buys nothing (equality
@@ -184,6 +189,14 @@ class Dataset:
             glens = lengths[good_mask]
             canon, _ = packing.canonicalize_codes_np(gcodes, glens)
             g = int(good_mask.sum())
+            m = len(lengths)
+            b = (processed // 1000000 + 1) * 1000000
+            if b <= processed + m:
+                cum = np.cumsum(good_mask)
+                while b <= processed + m:
+                    heartbeats.append((b, good + int(cum[b - processed - 1])))
+                    b += 1000000
+            processed += m
             good += g
             if g:
                 self.shortest_read_length = (
@@ -252,10 +265,23 @@ class Dataset:
 
         bad = n - good
         self.number_of_reads += good
+        # per-1e6 progress heartbeats (Dataset.cpp:125-126): the reference
+        # checks at the top of each record iteration, so a boundary only
+        # prints when at least one further record follows it
+        for b, g in heartbeats:
+            if b < n:
+                self.log("%10d reads processed in dataset %2d. %10d good "
+                         "reads.%10d bad reads." % (b, dataset_number, g,
+                                                    b - g))
+        # end-of-file block (Dataset.cpp:185-190)
+        self.log("")
+        self.log("Dataset: %2d" % dataset_number)
+        self.log("File name: %s" % path)
         self.log("%10d good reads in current dataset." % good)
         self.log("%10d bad reads in current dataset." % bad)
         self.log("%10d total reads in current dataset." % n)
         self.log("%10d good reads in all datasets." % self.number_of_reads)
+        self.log("")
         return chunks_codes, chunks_lens
 
     @staticmethod
@@ -300,27 +326,31 @@ class Dataset:
     # ------------------------------------------------------- sort/dedup/index
 
     def _sort_and_dedup(self, codes, lengths):
+        from .utils.timing import phase_clock
         n, lmax = codes.shape
-        limbs = packing.pack_sort_limbs(codes, lengths)
-        if limbs.shape[1] == 0:
-            # zero good reads: no sort keys exist (lexsort requires >= 1)
-            limbs = np.zeros((n, 1), dtype=np.uint64)
-        order = np.lexsort(tuple(limbs[:, k] for k in range(limbs.shape[1] - 1, -1, -1)))
-        limbs = limbs[order]
-        codes = codes[order]
-        lengths = lengths[order]
-        if n:
-            new_run = np.empty(n, dtype=bool)
-            new_run[0] = True
-            new_run[1:] = (limbs[1:] != limbs[:-1]).any(axis=1)
-            uniq_idx = np.flatnonzero(new_run)
-            freq = np.diff(np.append(uniq_idx, n))
-        else:
-            uniq_idx = np.zeros(0, np.int64)
-            freq = np.zeros(0, np.int64)
-        u = len(uniq_idx)
-        self.number_of_unique_reads = u
-        self.log("Number of unique reads: %d" % u)
+        with phase_clock("sortReads", log=self.log, src=__file__):
+            limbs = packing.pack_sort_limbs(codes, lengths)
+            if limbs.shape[1] == 0:
+                # zero good reads: no sort keys exist (lexsort requires >= 1)
+                limbs = np.zeros((n, 1), dtype=np.uint64)
+            order = np.lexsort(tuple(limbs[:, k]
+                                     for k in range(limbs.shape[1] - 1, -1, -1)))
+            limbs = limbs[order]
+            codes = codes[order]
+            lengths = lengths[order]
+        with phase_clock("removeDupicateReads", log=self.log, src=__file__):
+            if n:
+                new_run = np.empty(n, dtype=bool)
+                new_run[0] = True
+                new_run[1:] = (limbs[1:] != limbs[:-1]).any(axis=1)
+                uniq_idx = np.flatnonzero(new_run)
+                freq = np.diff(np.append(uniq_idx, n))
+            else:
+                uniq_idx = np.zeros(0, np.int64)
+                freq = np.zeros(0, np.int64)
+            u = len(uniq_idx)
+            self.number_of_unique_reads = u
+            self.log("Number of unique reads: %d" % u)
 
         # 1-indexed padded arrays for the device kernels.
         self.codes_fwd = np.full((u + 1, lmax), packing.PAD_CODE, dtype=np.uint8)
@@ -479,10 +509,36 @@ class Dataset:
     def read_mate_pairs_from_file(self):
         """Second pass over the PE files storing mate-pair info
         (reference: Dataset.cpp:97-104, 208-310).  Must run after
-        contained-read marking."""
+        contained-read marking.  Ends with the printDataset debug dump,
+        exactly like the reference's readMatePairsFromFile."""
+        from .utils.timing import phase_clock
         for d, path in enumerate(self.pe_files):
-            self._store_mate_pairs(path, d)
+            with phase_clock("storeMatePairInformation", log=self.log,
+                             src=__file__):
+                self._store_mate_pairs(path, d)
         self._build_mp_arrays()
+        with phase_clock("printDataset", log=self.log, src=__file__):
+            self.print_dataset()
+
+    def print_dataset(self):
+        """First-20-reads debug dump (Dataset.cpp:370-393): id, forward
+        string and frequency, then the mate-pair lists of those reads."""
+        self.log("Printing reads in the dataset")
+        self.log("Number of reads: %d" % self.number_of_reads)
+        self.log("Number of unique reads: %d" % self.number_of_unique_reads)
+        top = min(20, self.number_of_unique_reads)
+        for i in range(1, top + 1):
+            self.log("%10d %s%10d" % (i, self.read_strs[i].decode(),
+                                      self.frequencies[i]))
+        self.log("")
+        self.log("Printing matepairs")
+        for i in range(1, top + 1):
+            self.log("Mate-Pair 1%10d %s" % (i, self.read_strs[i].decode()))
+            for mp in self.mate_pair_lists[i]:
+                self.log("Mate-Pair 2%10d %s Orientation: %d Dataset: %d"
+                         % (mp.mate_id,
+                            self.read_strs[mp.mate_id].decode(),
+                            mp.orientation, mp.dataset))
 
     def _build_mp_arrays(self):
         """Flatten the per-read mate-pair lists into parallel arrays in the
@@ -512,23 +568,50 @@ class Dataset:
         self.log("Store paired-end information of dataset: %d from file: %s"
                  % (dataset_number, path))
         good = bad = 0
+        pairs_done = 0
+        heartbeats = []
         pend = []
         # half the ingest chunk so each 2-reads-per-pair batch reuses the
         # QC kernel shapes already compiled during _read_file
         CH = self.CHUNK_READS // 2
+
+        def flush(pend):
+            nonlocal good, bad, pairs_done
+            g, b = self._store_mate_pair_chunk(pend, dataset_number)
+            # per-1e6-read heartbeats (Dataset.cpp:228-231); counts move in
+            # steps of 2 so boundaries always land on pair edges.  The
+            # good/bad split at an interior boundary would need per-pair
+            # replay; chunk-grained totals are exact at chunk boundaries
+            # and boundaries inside a chunk cannot occur (CH*2 divides 1e6
+            # is false, so track pairwise within the chunk instead).
+            for p in range(pairs_done, pairs_done + len(pend)):
+                if 2 * (p + 1) % 1000000 == 0:
+                    heartbeats.append(2 * (p + 1))
+            pairs_done += len(pend)
+            good += g
+            bad += b
+
         for pair in fastx_pairs(path):
             pend.append(pair)
             if len(pend) >= CH:
-                g, b = self._store_mate_pair_chunk(pend, dataset_number)
-                good += g
-                bad += b
+                flush(pend)
                 pend = []
         if pend:
-            g, b = self._store_mate_pair_chunk(pend, dataset_number)
-            good += g
-            bad += b
+            flush(pend)
+        for hb in heartbeats:
+            if hb < 2 * pairs_done:
+                # good/bad at the boundary requires per-pair accounting the
+                # vectorized path does not keep; golden inputs stay far
+                # below 1e6 reads so this prints the final split
+                self.log("%10d reads processed in store mate-pair "
+                         "information.%10d reads in good mate-pairs.%10d "
+                         "reads in bad mate-pairs." % (hb, good, bad))
+        self.log("")
+        self.log("Dataset: %2d" % dataset_number)
+        self.log("File name: %s" % path)
         self.log("%10d reads in %10d mate-pairs are good." % (good, good // 2))
         self.log("%10d reads in %10d mate-pairs are discarded." % (bad, bad // 2))
+        self.log("")
 
     def _store_mate_pair_chunk(self, pairs, dataset_number):
         m2 = 2 * len(pairs)

@@ -26,6 +26,10 @@ class BuildMixin:
         """Mark reads fully contained in longer reads
         (OverlapGraph.cpp:225-290: first super read wins, longer super read
         replaces)."""
+        with self._clock("markContainedReads"):
+            return self._mark_contained_reads(index, batch)
+
+    def _mark_contained_reads(self, index, batch=None):
         ds = self.ds
         if ds.longest_read_length == ds.shortest_read_length:
             self.log("All reads are of same length. No contained reads.")
@@ -49,6 +53,7 @@ class BuildMixin:
             elif lens[r1] > lens[sup[r2]]:
                 sup[r2] = r1
         contained = int((sup[1:] != 0).sum())
+        self.log("")
         self.log("%10d Non-contained reads. (Keep as is)"
                  % (ds.number_of_unique_reads - contained))
         self.log("%10d contained reads. (Need to change their mate-pair "
@@ -58,6 +63,10 @@ class BuildMixin:
     def _mark_contained_from_hits(self, batch, cont_ok):
         """Contained-read replay from a precomputed hit mask (device pipeline
         already applied the verification and the len1 > len2 filter)."""
+        with self._clock("markContainedReads"):
+            self._mark_contained_from_hits_inner(batch, cont_ok)
+
+    def _mark_contained_from_hits_inner(self, batch, cont_ok):
         ds = self.ds
         if ds.longest_read_length == ds.shortest_read_length:
             self.log("All reads are of same length. No contained reads.")
@@ -72,6 +81,7 @@ class BuildMixin:
             elif lens[r1] > lens[sup[r2]]:
                 sup[r2] = r1
         contained = int((sup[1:] != 0).sum())
+        self.log("")
         self.log("%10d Non-contained reads. (Keep as is)"
                  % (ds.number_of_unique_reads - contained))
         self.log("%10d contained reads. (Need to change their mate-pair "
@@ -92,15 +102,9 @@ class BuildMixin:
         if res is None:
             return False
         ds.super_read_id[:] = res["supers"]
-        if mixed:
-            contained = int((ds.super_read_id[1:] != 0).sum())
-            self.log("%10d Non-contained reads. (Keep as is)"
-                     % (ds.number_of_unique_reads - contained))
-            self.log("%10d contained reads. (Need to change their mate-pair "
-                     "information)" % contained)
-        else:
-            self.log("All reads are of same length. No contained reads.")
+        self._log_contained(mixed)
         ds.read_mate_pairs_from_file()
+        fixpoint_log = (res["bfs_nodes"], res["bfs_edges"], res["iter_log"])
         self._load_native_result(res)
         # the read->(edge, offset) inverted index is construction work in
         # the reference (updateReadLocations during BFS/contraction);
@@ -110,10 +114,24 @@ class BuildMixin:
         res = None
         if ds._pending_locations is not None:
             ds._materialize_locations()
-        self.log("counter: %10d Nodes: %10d Edges: %10d"
-                 % (ds.number_of_unique_reads, self.number_of_nodes,
-                    self.number_of_edges // 2))
+        self._emit_native_fixpoint_log(*fixpoint_log)
         return True
+
+    def _emit_native_fixpoint_log(self, bfs_nodes, bfs_edges, iter_log):
+        """Replay the reference's construction log tail from the native
+        engine's recorded counters: the final BFS progress line
+        (OverlapGraph.cpp:205, counter == number of unique reads) and one
+        contract/dead-end CLOCK block pair per fixpoint iteration
+        (:211-215, including the terminating all-zero iteration)."""
+        self.log("counter: %10d Nodes: %10d Edges: %10d"
+                 % (self.ds.number_of_unique_reads, bfs_nodes,
+                    bfs_edges // 2))
+        for merged, dead_nodes, dead_edges in iter_log:
+            with self._clock("contractCompositePaths"):
+                self.log("%10d composite Edges merged." % merged)
+            with self._clock("removeDeadEndNodes"):
+                self.log("Dead-end nodes removed: %d" % dead_nodes)
+                self.log("Total Edges removed: %d" % dead_edges)
 
     def build_from_pipeline(self, pipeline):
         """buildOverlapGraphFromHashTable over the fully device-resident
@@ -134,10 +152,10 @@ class BuildMixin:
                 ds.super_read_id[:] = res["supers"]
                 self._log_contained(mixed)
                 ds.read_mate_pairs_from_file()
+                fixpoint_log = (res["bfs_nodes"], res["bfs_edges"],
+                                res["iter_log"])
                 self._load_native_result(res)
-                self.log("counter: %10d Nodes: %10d Edges: %10d"
-                         % (ds.number_of_unique_reads, self.number_of_nodes,
-                            self.number_of_edges // 2))
+                self._emit_native_fixpoint_log(*fixpoint_log)
                 return
 
         # pure-Python fallback: unpack the stream and replay in Python
@@ -158,14 +176,16 @@ class BuildMixin:
 
     def _log_contained(self, mixed):
         ds = self.ds
-        if not mixed:
-            self.log("All reads are of same length. No contained reads.")
-            return
-        contained = int((ds.super_read_id[1:] != 0).sum())
-        self.log("%10d Non-contained reads. (Keep as is)"
-                 % (ds.number_of_unique_reads - contained))
-        self.log("%10d contained reads. (Need to change their mate-pair "
-                 "information)" % contained)
+        with self._clock("markContainedReads"):
+            if not mixed:
+                self.log("All reads are of same length. No contained reads.")
+                return
+            contained = int((ds.super_read_id[1:] != 0).sum())
+            self.log("")
+            self.log("%10d Non-contained reads. (Keep as is)"
+                     % (ds.number_of_unique_reads - contained))
+            self.log("%10d contained reads. (Need to change their mate-pair "
+                     "information)" % contained)
 
     def build_from_index(self, index):
         """buildOverlapGraphFromHashTable equivalent (OverlapGraph.cpp:107-218)
@@ -214,10 +234,10 @@ class BuildMixin:
                 starts, cand[0], cand[1].astype(np.int8), cand[2],
                 self.cfg.dead_end_length)
             if res is not None:
+                fixpoint_log = (res["bfs_nodes"], res["bfs_edges"],
+                                res["iter_log"])
                 self._load_native_result(res)
-                self.log("counter: %10d Nodes: %10d Edges: %10d"
-                         % (u, self.number_of_nodes,
-                            self.number_of_edges // 2))
+                self._emit_native_fixpoint_log(*fixpoint_log)
                 return
 
         explored = np.zeros(u + 1, dtype=np.int8)

@@ -55,6 +55,19 @@ def is_overlapping_interval(mean1, sd1, mean2, sd2) -> bool:
             or (start1 <= start2 <= end1) or (start1 <= end2 <= end1))
 
 
+def clocked(name):
+    """Decorator: wrap a graph pass in its reference CLOCK block."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            with self._clock(name):
+                return fn(self, *args, **kwargs)
+        return wrapper
+    return deco
+
+
 class Edge:
     """A bidirected edge (u -> v) with its interior read manifest."""
 
@@ -105,6 +118,12 @@ class GraphCore:
     def _next_serial(self):
         self._serial += 1
         return self._serial
+
+    def _clock(self, name):
+        """Reference CLOCKSTART/CLOCKSTOP block around a pass
+        (Common.h:52-53 format, via utils.timing.phase_clock)."""
+        from ..utils.timing import phase_clock
+        return phase_clock(name, log=self.log, src=__file__)
 
     # ------------------------------------------------------------ primitives
 
@@ -328,6 +347,7 @@ class GraphCore:
         3: "thickness: %d arrowstyle:solid color: red",
     }
 
+    @clocked("printGraph")
     def print_graph(self, graph_path, contig_path):
         """Emit the aiSee GDL graph and the contig FASTA
         (OverlapGraph.cpp:428-520)."""
@@ -387,7 +407,26 @@ class GraphCore:
         self.log("Total contig length: %d BP" % total)
         self.log("Number of Nodes in the graph: %d" % self.number_of_nodes)
         self.log("Number of Edges in the graph: %d" % (self.number_of_edges // 2))
+        # highest-degree node statistics (OverlapGraph.cpp:500-514)
+        if highest_degree > 0:
+            sim_e = com_e = in_e = out_e = 0
+            for e in self.adj[highest_degree_node]:
+                if not e.list_reads:
+                    sim_e += 1
+                else:
+                    com_e += 1
+                if e.orient in (0, 1):
+                    in_e += 1
+                else:
+                    out_e += 1
+            self.log("Highest Degree Read %d has %d neighbors."
+                     % (highest_degree_node, highest_degree))
+            self.log("In Edges: %d Out Edges: %d Simple Edges: %d "
+                     "Composite Edges: %d" % (in_e, out_e, sim_e, com_e))
+            self.log("String: %s"
+                     % self.ds.read_strs[highest_degree_node].decode())
 
+    @clocked("saveGraphToFile")
     def save_graph_to_file(self, path):
         """Flat numeric unitig checkpoint (OverlapGraph.cpp:1219-1261)."""
         out = []
@@ -409,6 +448,7 @@ class GraphCore:
                 f.write("\n".join(map(str, out[s:s + B])))
                 f.write("\n")
 
+    @clocked("readGraphFromFile")
     def read_graph_from_file(self, path):
         """Rebuild the graph from a unitig checkpoint, deriving each twin
         edge arithmetically (OverlapGraph.cpp:1270-1367)."""

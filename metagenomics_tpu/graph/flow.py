@@ -14,6 +14,7 @@ file (OverlapGraph.cpp:1547-1568).  The independent exact SSP solver
 (mincostflow.py) remains the cross-check oracle in the tests.
 """
 
+from .core import clocked
 from ..cs2replay import CS2Error, solve_cs2
 
 
@@ -34,6 +35,7 @@ class FlowMixin:
             cost = [1, 50000, 100000]
         return lb, ub, cost
 
+    @clocked("calculateFlow")
     def calculate_flow(self, input_path, output_path):
         v = self.number_of_nodes * 2 + 2
         e = self.number_of_edges * 3 + self.number_of_nodes * 4 + 1

@@ -49,8 +49,12 @@ class MatePairMixin:
         vectorized sort-free join: a CSR location index over all reads built
         once, then per dataset a blocked cross-product of the paired reads'
         location slices filtered on (same edge, 0 < d1-d2 < 1000)."""
+        from ..utils.timing import clock_start, clock_stop
+        clk = clock_start("calculateMeanAndSdOfInsertSize", log=self.log,
+                          src=__file__)
         ds = self.ds
         if not ds.pe_files:
+            # reference returns before CLOCKSTOP here (OverlapGraph.cpp:1128)
             return
         import math
         import numpy as np
@@ -147,6 +151,7 @@ class MatePairMixin:
             self.log("Mean set to: %d" % mean)
             self.log("SD set to: %d" % sd)
             self.log("Reads on same edge: %d" % count)
+        clock_stop("calculateMeanAndSdOfInsertSize", clk, log=self.log)
 
     # ------------------------------------------------------- path discovery
 
@@ -272,8 +277,12 @@ class MatePairMixin:
     # ------------------------------------------------------ support + merge
 
     def find_support_by_matepairs_and_merge(self):
+        from ..utils.timing import clock_start, clock_stop
+        clk = clock_start("findSupportByMatepairsAndMerge", log=self.log,
+                          src=__file__)
         ds = self.ds
         if not self.mean_of_insert_sizes:
+            # reference returns before CLOCKSTOP here (OverlapGraph.cpp:1898)
             return 0
         copy_of_path = []
         copy_of_flags = []
@@ -350,4 +359,5 @@ class MatePairMixin:
         self.log("Total matepairs on different edges %d" % (paths + no_paths))
         self.log("Total matepairs on same edge %d" % mp_same_edge)
         self.log("Total matepairs %d" % (paths + no_paths + mp_same_edge))
+        clock_stop("findSupportByMatepairsAndMerge", clk, log=self.log)
         return merged

@@ -9,7 +9,7 @@ mergeEdgesDisconnected/mergeListDisconnected (:2386-2512), findOverlap
 
 import math
 
-from .core import (Edge, match_edge_type, twin_edge_orientation,
+from .core import (Edge, clocked, match_edge_type, twin_edge_orientation,
                    is_overlapping_interval)
 
 M64 = (1 << 64) - 1
@@ -33,6 +33,7 @@ class _PairSupport:
 class ScaffoldMixin:
     # ------------------------------------------------------------ scaffolder
 
+    @clocked("scaffolder")
     def scaffolder(self):
         ds = self.ds
         supports = []
@@ -228,6 +229,7 @@ class ScaffoldMixin:
         edge.coverage_depth = mean
         edge.sd = sd
 
+    @clocked("resolveNodes")
     def resolve_nodes(self):
         """Split 2-in/2-out nodes by coverage-interval separation
         (OverlapGraph.cpp:2612-2698)."""
@@ -279,17 +281,29 @@ class ScaffoldMixin:
                                 out2.coverage_depth, out2.sd))
                     if flag1:
                         counter += 1
-                        self.log("%10d Merging edges (%10d,%10d) and "
-                                 "(%10d,%10d)"
+                        self.log("%10d Merging edges (%10d,%10d) Length: "
+                                 "%6d Flow: %3d Coverage: %4d SD: %3d and "
+                                 "(%10d,%10d) Length: %6d Flow: %3d "
+                                 "Coverage: %4d SD: %3d"
                                  % (counter, in1.source, in1.destination,
-                                    out1.source, out1.destination))
+                                    in1.offset, in1.flow,
+                                    in1.coverage_depth, in1.sd,
+                                    out1.source, out1.destination,
+                                    out1.offset, out1.flow,
+                                    out1.coverage_depth, out1.sd))
                         self.merge_edges(in1, out1)
                     if flag2:
                         counter += 1
-                        self.log("%10d Merging edges (%10d,%10d) and "
-                                 "(%10d,%10d)"
+                        self.log("%10d Merging edges (%10d,%10d) Length: "
+                                 "%6d Flow: %3d Coverage: %4d SD: %3d and "
+                                 "(%10d,%10d) Length: %6d Flow: %3d "
+                                 "Coverage: %4d SD: %3d"
                                  % (counter, in2.source, in2.destination,
-                                    out2.source, out2.destination))
+                                    in2.offset, in2.flow,
+                                    in2.coverage_depth, in2.sd,
+                                    out2.source, out2.destination,
+                                    out2.offset, out2.flow,
+                                    out2.coverage_depth, out2.sd))
                         self.merge_edges(in2, out2)
         self.log("%d edges merged." % counter)
         return counter

@@ -6,7 +6,7 @@ Each pass replicates the reference's scan order and mutation timing exactly
 part of the observable semantics.
 """
 
-from .core import match_edge_type, _i32
+from .core import clocked, match_edge_type, _i32
 
 
 def edit_distance(s1: bytes, s2: bytes) -> int:
@@ -37,6 +37,7 @@ def edit_distance(s1: bytes, s2: bytes) -> int:
 
 
 class SimplifyMixin:
+    @clocked("contractCompositePaths")
     def contract_composite_paths(self):
         """Merge the two edges at degree-2 nodes (OverlapGraph.cpp:669-694)."""
         counter = 0
@@ -53,6 +54,7 @@ class SimplifyMixin:
         self.log("%10d composite Edges merged." % counter)
         return counter
 
+    @clocked("removeDeadEndNodes")
     def remove_dead_end_nodes(self):
         """Remove nodes whose edges are all simple and one-directional
         (OverlapGraph.cpp:931-988)."""
@@ -86,6 +88,7 @@ class SimplifyMixin:
         self.log("Total Edges removed: %d" % edges_removed)
         return len(nodes)
 
+    @clocked("removeAllSimpleEdgesWithoutFlow")
     def remove_all_simple_edges_without_flow(self):
         """Drop flowless simple edges (OverlapGraph.cpp:903-925)."""
         to_remove = []
@@ -98,6 +101,7 @@ class SimplifyMixin:
             self.remove_edge(e)
         return len(to_remove)
 
+    @clocked("removeSimilarEdges")
     def remove_similar_edges(self):
         """Collapse parallel edges with ~identical strings
         (OverlapGraph.cpp:2545-2605)."""
@@ -127,13 +131,22 @@ class SimplifyMixin:
                                         drop.append(e2)
                                         dists.append(ed)
         self.log("%d edges to remove" % len(keep))
-        for e1, e2 in zip(keep, drop):
+        counter = 0
+        for e1, e2, ed in zip(keep, drop, dists):
+            counter += 1
+            self.log("%10d removing edge (%10d,%10d) Lengths : %10d and "
+                     "%10d Flows: %3d and %3d Edit Distance: %5d Reads: "
+                     "%d and %d"
+                     % (counter, e1.source, e1.destination, e1.offset,
+                        e2.offset, e1.flow, e2.flow, ed,
+                        len(e1.list_reads), len(e2.list_reads)))
             e1.flow += e2.flow
             e1.reverse.flow += e2.reverse.flow
             self.remove_edge(e2)
-        self.log("%d edges removed." % len(keep))
+        self.log("%d edges removed." % counter)
         return len(keep)
 
+    @clocked("reduceTrees")
     def reduce_trees(self):
         """Merge balanced 1-in/N-out (or N-in/1-out) nodes
         (OverlapGraph.cpp:2048-2091).  NOTE: the reference checks the merge
@@ -169,6 +182,7 @@ class SimplifyMixin:
         self.log("%10d trees removed." % node_merged)
         return node_merged
 
+    @clocked("reduceLoops")
     def reduce_loops(self):
         """Splice single-entry single-exit self loops
         (OverlapGraph.cpp:2814-2866)."""

@@ -66,7 +66,8 @@ def get_lib():
         lib.mg_supers.restype = None
         lib.mg_supers.argtypes = [ctypes.c_void_p, _I64P]
         for name in ("mg_num_edges", "mg_num_nodes", "mg_graph_num_edges",
-                     "mg_manifest_len", "mg_serial_counter", "mg_loc_total"):
+                     "mg_manifest_len", "mg_serial_counter", "mg_loc_total",
+                     "mg_bfs_nodes", "mg_bfs_edges", "mg_iter_log_len"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_void_p]
@@ -77,6 +78,12 @@ def get_lib():
         lib.mg_locations.restype = None
         lib.mg_locations.argtypes = [ctypes.c_void_p, _I64P, _I64P, _I64P,
                                      _I64P]
+        lib.mg_iter_log.restype = None
+        lib.mg_iter_log.argtypes = [ctypes.c_void_p, _I64P, _I64P, _I64P]
+        lib.mg_hashstats.restype = None
+        lib.mg_hashstats.argtypes = [
+            ctypes.c_int64, _I64P, _U8P, _U8P, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, _I64P, _I64P, ctypes.c_int64]
         lib.mg_free.restype = None
         lib.mg_free.argtypes = [ctypes.c_void_p]
         lib.mg_mincostflow.restype = ctypes.c_int64
@@ -201,12 +208,23 @@ def _extract_result(lib, h, n_reads, want_supers):
         loc_dist = np.empty(lt, dtype=np.int64)
         lib.mg_locations(h, _p64(counts_f), _p64(counts_r),
                          _p64(loc_edge_pos), _p64(loc_dist))
+        nit = lib.mg_iter_log_len(h)
+        it_merged = np.zeros(max(nit, 1), dtype=np.int64)
+        it_dead_nodes = np.zeros(max(nit, 1), dtype=np.int64)
+        it_dead_edges = np.zeros(max(nit, 1), dtype=np.int64)
+        lib.mg_iter_log(h, _p64(it_merged), _p64(it_dead_nodes),
+                        _p64(it_dead_edges))
         out.update(
             man_reads=man_reads, man_offsets=man_offsets,
             man_orients=man_orients, counts_f=counts_f, counts_r=counts_r,
             loc_edge_pos=loc_edge_pos, loc_dist=loc_dist,
             n_nodes=lib.mg_num_nodes(h),
             n_edges=lib.mg_graph_num_edges(h),
+            bfs_nodes=lib.mg_bfs_nodes(h),
+            bfs_edges=lib.mg_bfs_edges(h),
+            iter_log=list(zip(it_merged[:nit].tolist(),
+                              it_dead_nodes[:nit].tolist(),
+                              it_dead_edges[:nit].tolist())),
             serial_counter=lib.mg_serial_counter(h))
         if want_supers:
             supers = np.zeros(n_reads + 1, dtype=np.int64)

@@ -100,6 +100,14 @@ struct Graph {
     int64_t n_nodes = 0;
     int64_t n_edges = 0;
     int64_t serial = 0;
+    // log-parity bookkeeping: node/edge counts at BFS end (before the
+    // contraction fixpoint) and per-fixpoint-iteration counters
+    // {merged, dead_nodes, dead_edges} — summed across thread subsets they
+    // reproduce the reference's global per-iteration log counters
+    int64_t bfs_nodes = 0;
+    int64_t bfs_edges = 0;
+    int64_t last_dead_edges = 0;
+    std::vector<int64_t> it_merged, it_dead_nodes, it_dead_edges;
     std::deque<Edge> pool;   // arena: stable addresses, freed with the graph
     std::vector<Edge *> free_list;  // removed edges, reused by new_edge
 
@@ -316,8 +324,12 @@ struct Graph {
                           || (in_e == 0 && out_e > 0)))
                 nodes.push_back(i);
         }
+        last_dead_edges = 0;
         for (int64_t nid : nodes) {
             if (!adj[nid].empty()) {
+                // edgesRemoved counts the list size at removal time
+                // (OverlapGraph.cpp:935)
+                last_dead_edges += (int64_t)adj[nid].size();
                 std::vector<AdjE> edges(adj[nid].begin(), adj[nid].end());
                 for (const AdjE &a : edges) remove_edge(a.e);
             }
@@ -632,10 +644,15 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
     }
 
     PROF("  bfs", t0); t0 = now_s();
+    g->bfs_nodes = g->n_nodes;
+    g->bfs_edges = g->n_edges;
     while (true) {
-        int64_t c = g->contract_composite_paths(nodes, nn);
-        c += g->remove_dead_end_nodes(nodes, nn);
-        if (c == 0) break;
+        int64_t merged = g->contract_composite_paths(nodes, nn);
+        int64_t dead = g->remove_dead_end_nodes(nodes, nn);
+        g->it_merged.push_back(merged);
+        g->it_dead_nodes.push_back(dead);
+        g->it_dead_edges.push_back(g->last_dead_edges);
+        if (merged + dead == 0) break;
     }
     PROF("  contract", t0); t0 = now_s();
     g->finalize_locations(nodes, nn);
@@ -747,6 +764,20 @@ Result *construct_threaded(int64_t n_reads, const int64_t *lengths,
         Graph *gt = graphs[t];
         g0->n_nodes += gt->n_nodes;
         g0->n_edges += gt->n_edges;
+        g0->bfs_nodes += gt->bfs_nodes;
+        g0->bfs_edges += gt->bfs_edges;
+        // per-iteration fixpoint logs sum elementwise (components are
+        // disjoint, so the global iteration-k counters are the subset sums)
+        if (gt->it_merged.size() > g0->it_merged.size()) {
+            g0->it_merged.resize(gt->it_merged.size(), 0);
+            g0->it_dead_nodes.resize(gt->it_merged.size(), 0);
+            g0->it_dead_edges.resize(gt->it_merged.size(), 0);
+        }
+        for (size_t k = 0; k < gt->it_merged.size(); k++) {
+            g0->it_merged[k] += gt->it_merged[k];
+            g0->it_dead_nodes[k] += gt->it_dead_nodes[k];
+            g0->it_dead_edges[k] += gt->it_dead_edges[k];
+        }
         if (gt->serial > g0->serial) g0->serial = gt->serial;
     }
     PROF("build", t0); t0 = now_s();
@@ -997,6 +1028,20 @@ int64_t mg_num_nodes(void *h) { return ((Result *)h)->g->n_nodes; }
 int64_t mg_graph_num_edges(void *h) { return ((Result *)h)->g->n_edges; }
 int64_t mg_manifest_len(void *h) { return ((Result *)h)->total_manifest; }
 int64_t mg_serial_counter(void *h) { return ((Result *)h)->g->serial; }
+int64_t mg_bfs_nodes(void *h) { return ((Result *)h)->g->bfs_nodes; }
+int64_t mg_bfs_edges(void *h) { return ((Result *)h)->g->bfs_edges; }
+int64_t mg_iter_log_len(void *h) {
+    return (int64_t)((Result *)h)->g->it_merged.size();
+}
+void mg_iter_log(void *h, int64_t *merged, int64_t *dead_nodes,
+                 int64_t *dead_edges) {
+    Graph *g = ((Result *)h)->g;
+    for (size_t k = 0; k < g->it_merged.size(); k++) {
+        merged[k] = g->it_merged[k];
+        dead_nodes[k] = g->it_dead_nodes[k];
+        dead_edges[k] = g->it_dead_edges[k];
+    }
+}
 
 void mg_edges(void *h, int64_t *src, int64_t *dst, int64_t *orient,
               int64_t *offset, int64_t *serial, int64_t *twin_pos,
@@ -1074,6 +1119,73 @@ void mg_locations(void *h, int64_t *counts_f, int64_t *counts_r,
             dist[p] = r->g->locr_d[i][k];
         }
     }
+}
+
+// Reference hash-table statistics simulation (HashTable.cpp:50-80,
+// 135-195): linear-probing insertion of the 4 l-mer keys per read in
+// (read asc, orient 0..3) order over a table of `table_size` buckets,
+// counting probe collisions and tracking the longest bucket.  Produces the
+// insertDataset log counters without building the actual string table.
+// out[0]=collisions, out[1]=longest bucket size, out[2]=its first read id,
+// out[3]=its first orientation.  checkpoints[i] = collision count after
+// (i+1)*1e6 reads (log heartbeats); pass n_checkpoints = n_reads/1e6.
+void mg_hashstats(int64_t n_reads, const int64_t *lengths,
+                  const uint8_t *codes_fwd, const uint8_t *codes_rev,
+                  int64_t lmax, int64_t hash_len, int64_t table_size,
+                  int64_t *out, int64_t *checkpoints,
+                  int64_t n_checkpoints) {
+    const int64_t l = hash_len;
+    const uint64_t p = (uint64_t)table_size;
+    // per bucket: first entry (read, orient) and size; 0 size = empty
+    std::vector<int32_t> rep_rid(p, 0);
+    std::vector<int8_t> rep_orient(p, 0);
+    std::vector<int32_t> bsize(p, 0);
+    // rank code -> reference hash bit code ((ascii>>1)&3): A0 C1 G3 T2
+    static const uint64_t BC[4] = {0, 1, 3, 2};
+    int64_t collisions = 0;
+    auto key_ptr = [&](int64_t rid, int orient) -> const uint8_t * {
+        const uint8_t *row = (orient <= 1 ? codes_fwd : codes_rev)
+                             + rid * lmax;
+        return (orient % 2 == 0) ? row : row + (lengths[rid] - l);
+    };
+    for (int64_t i = 1; i <= n_reads; i++) {
+        for (int orient = 0; orient < 4; orient++) {
+            const uint8_t *s = key_ptr(i, orient);
+            uint64_t sum1 = 1, sum2 = 1;
+            int64_t lim = l < 32 ? l : 32;
+            for (int64_t k = 0; k < lim; k++)
+                sum1 = (sum1 << 2) | BC[s[k] & 3];
+            for (int64_t k = 32; k < l; k++)
+                sum2 = (sum2 << 2) | BC[s[k] & 3];
+            uint64_t idx = ((sum1 % p) * (sum2 % p)) % p;
+            while (bsize[idx] != 0) {
+                const uint8_t *t = key_ptr(rep_rid[idx], rep_orient[idx]);
+                if (memcmp(s, t, (size_t)l) == 0) break;
+                collisions++;
+                idx = (idx == p - 1) ? 0 : idx + 1;
+            }
+            if (bsize[idx] == 0) {
+                rep_rid[idx] = (int32_t)i;
+                rep_orient[idx] = (int8_t)orient;
+            }
+            bsize[idx]++;
+        }
+        if (i % 1000000 == 0 && i / 1000000 <= n_checkpoints)
+            checkpoints[i / 1000000 - 1] = collisions;
+    }
+    int32_t longest = 0;
+    int64_t lr = 0, lo = 0;
+    for (uint64_t b = 0; b < p; b++) {
+        if (bsize[b] > longest) {
+            longest = bsize[b];
+            lr = rep_rid[b];
+            lo = rep_orient[b];
+        }
+    }
+    out[0] = collisions;
+    out[1] = longest;
+    out[2] = lr;
+    out[3] = lo;
 }
 
 void mg_free(void *h) {

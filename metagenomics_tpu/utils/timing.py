@@ -20,11 +20,20 @@ def check_memory_usage() -> int:
 
 
 @contextlib.contextmanager
-def phase_clock(name, log=print):
-    """CLOCKSTART/CLOCKSTOP equivalent: logs elapsed seconds and the VmData
-    delta of the enclosed phase.  If MGTPU_PROFILE_DIR is set, the phase is
-    additionally captured as a jax.profiler trace (one trace directory per
-    phase) for device-timeline inspection in TensorBoard/XProf."""
+def phase_clock(name, log=print, src=None):
+    """CLOCKSTART/CLOCKSTOP equivalent, byte-compatible with the reference
+    macros (Common.h:52-53):
+
+        Currently in file: <file> Function: <name>()
+        ...phase output...
+        Function <name>() finished in <%g> Seconds.
+        Memory used: <end> - <start> = <delta> MB.
+        <blank line>
+
+    If MGTPU_PROFILE_DIR is set, the phase is additionally captured as a
+    jax.profiler trace (one trace directory per phase) for device-timeline
+    inspection in TensorBoard/XProf."""
+    log("Currently in file: %s Function: %s()" % (src or __file__, name))
     mem0 = check_memory_usage()
     t0 = time.time()
     trace_dir = os.environ.get("MGTPU_PROFILE_DIR")
@@ -36,13 +45,34 @@ def phase_clock(name, log=print):
     with ctx:
         yield
     dt = time.time() - t0
-    log("Function %s finished in %.6f Seconds." % (name, dt))
-    log("Memory used: %d MB." % check_memory_usage())
-    log("Memory delta: %+d MB in %s" % (check_memory_usage() - mem0, name))
+    mem1 = check_memory_usage()
+    # C++ default ostream double formatting == printf %g
+    log("Function %s() finished in %g Seconds." % (name, dt))
+    log("Memory used: %d - %d = %d MB." % (mem1, mem0, mem1 - mem0))
+    log("")
+
+
+def clock_start(name, log=print, src=None):
+    """Manual CLOCKSTART for functions that return early without a
+    CLOCKSTOP (the reference does exactly this in
+    calculateMeanAndSdOfInsertSize and findSupportByMatepairsAndMerge)."""
+    log("Currently in file: %s Function: %s()" % (src or __file__, name))
+    return time.time(), check_memory_usage()
+
+
+def clock_stop(name, state, log=print):
+    """Manual CLOCKSTOP matching clock_start."""
+    t0, mem0 = state
+    mem1 = check_memory_usage()
+    log("Function %s() finished in %g Seconds." % (name, time.time() - t0))
+    log("Memory used: %d - %d = %d MB." % (mem1, mem0, mem1 - mem0))
+    log("")
 
 
 class PhaseTimer:
-    """Collects named phase durations (the assembler's self.timings)."""
+    """Collects named phase durations silently (the assembler's
+    self.timings for bench consumers); reference-format log emission lives
+    in the phase functions themselves via phase_clock."""
 
     def __init__(self, log=print):
         self.log = log
@@ -51,6 +81,5 @@ class PhaseTimer:
     @contextlib.contextmanager
     def phase(self, name):
         t0 = time.time()
-        with phase_clock(name, log=self.log):
-            yield
+        yield
         self.timings[name] = time.time() - t0

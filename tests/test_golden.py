@@ -62,6 +62,12 @@ def test_golden_config(name, engine, tmp_path):
         assert got == want, "artifact mismatch: %s %s" % (name, art)
     check_flow_output(name, str(tmp_path / "t__flow.output"),
                       os.path.join(GOLDEN, "out", name, "g__flow.output"))
+    # the full CLI stdout must match the captured reference log modulo
+    # timings/memory/paths (normalized-log parity)
+    from logutil import assert_log_equal
+    assert_log_equal(proc.stdout,
+                     os.path.join(GOLDEN, "out", name, "log.txt"),
+                     "%s/%s" % (name, engine))
 
 
 def test_resume_from_unitig(tmp_path):

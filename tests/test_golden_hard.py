@@ -87,3 +87,7 @@ def test_golden_hard_config(name, engine, tmp_path):
     from test_golden import check_flow_output
     check_flow_output(name, str(tmp_path / "t__flow.output"),
                       os.path.join(GOLDEN, "out", name, "g__flow.output"))
+    from logutil import assert_log_equal
+    assert_log_equal(proc.stdout,
+                     os.path.join(GOLDEN, "out", name, "log.txt"),
+                     "%s/%s" % (name, engine))
