@@ -209,6 +209,8 @@ class Dataset:
                 chunks_lens.append(glens)
 
         fast = self._scan_two_line_fasta(path)
+        if fast is None:
+            fast = self._scan_four_line_fastq(path)
         if fast is not None:
             arr, seq_starts, seq_lens = fast
             n = len(seq_starts)
@@ -283,6 +285,38 @@ class Dataset:
         self.log("%10d good reads in all datasets." % self.number_of_reads)
         self.log("")
         return chunks_codes, chunks_lens
+
+    @staticmethod
+    def _scan_four_line_fastq(path):
+        """Byte-level scan of a 4-line-per-record FASTQ.  The reference's
+        FASTQ parse (Dataset.cpp:149-157) is purely line-count based: four
+        getlines per record, sequence = line 2, no content validation — so
+        any file whose line count is a multiple of 4 parses identically.
+        Returns (uppercased byte array, sequence line starts, sequence
+        lengths) INCLUDING the phantom empty record the reference's
+        while(!eof) loop produces after the last real record (the trailing
+        newline leaves eofbit unset; the extra iteration yields an empty
+        sequence counted as a bad read).  None -> stream-parser fallback."""
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            from .errors import MyExit
+            raise MyExit("Unable to open file: " + path) from None
+        if not data.startswith(b"@") or not data.endswith(b"\n"):
+            return None
+        data = data.upper()             # reference uppercases per line
+        arr = np.frombuffer(data, np.uint8)
+        nl = np.flatnonzero(arr == 10)
+        nlines = len(nl)
+        if nlines == 0 or nlines % 4:
+            return None
+        starts = np.empty(nlines, np.int64)
+        starts[0] = 0
+        starts[1:] = nl[:-1] + 1
+        seq_starts = np.append(starts[1::4], 0)
+        seq_lens = np.append(nl[1::4] - starts[1::4], 0)  # phantom record
+        return arr, seq_starts, seq_lens
 
     @staticmethod
     def _scan_two_line_fasta(path):
@@ -591,13 +625,56 @@ class Dataset:
             good += g
             bad += b
 
-        for pair in fastx_pairs(path):
-            pend.append(pair)
-            if len(pend) >= CH:
+        # byte-level fast path: strict 2-line FASTA or 4-line FASTQ scans
+        # feed padded ASCII rows straight to the vectorized chunk core,
+        # skipping per-record Python string assembly entirely
+        scan = self._scan_two_line_fasta(path)
+        fastq_phantom = False
+        if scan is None:
+            scan = self._scan_four_line_fastq(path)
+            if scan is not None:
+                arr0, st0, ln0 = scan
+                # the phantom empty record pairs with nothing real; it is
+                # accounted below as the reference's ("", "") bad pair
+                scan = (arr0, st0[:-1], ln0[:-1])
+                fastq_phantom = True
+        if scan is not None and len(scan[1]) % 2 == 0:
+            arr0, starts0, lens0 = scan
+            nrec = len(starts0)
+            for s in range(0, nrec, 2 * CH):
+                e = min(s + 2 * CH, nrec)
+                ls = np.asarray(lens0[s:e], np.int64)
+                os_ = starts0[s:e]
+                lmax = max(int(ls.max()), 1) if e > s else 1
+                k = np.arange(lmax)[None, :]
+                pos = np.minimum(os_[:, None] + k, len(arr0) - 1)
+                ascii_arr = np.where(k < ls[:, None], arr0[pos], 0)
+
+                def orig(j, os_=os_, ls=ls):
+                    return arr0[os_[j]:os_[j] + ls[j]].tobytes()
+
+                g, b = self._store_mate_pair_chunk_arrays(
+                    ascii_arr, ls, orig, dataset_number)
+                for p in range(pairs_done, pairs_done + (e - s) // 2):
+                    if 2 * (p + 1) % 1000000 == 0:
+                        heartbeats.append(2 * (p + 1))
+                pairs_done += (e - s) // 2
+                good += g
+                bad += b
+            if fastq_phantom:
+                # the reference's trailing while(!eof) iteration reads 8
+                # empty lines and discards the empty pair (Dataset.cpp:
+                # 232-239 QC failure path)
+                bad += 2
+                pairs_done += 1
+        else:
+            for pair in fastx_pairs(path):
+                pend.append(pair)
+                if len(pend) >= CH:
+                    flush(pend)
+                    pend = []
+            if pend:
                 flush(pend)
-                pend = []
-        if pend:
-            flush(pend)
         for hb in heartbeats:
             if hb < 2 * pairs_done:
                 # good/bad at the boundary requires per-pair accounting the
@@ -630,6 +707,17 @@ class Dataset:
                              len(flat) - 1)
             ascii_arr = np.where(
                 np.arange(lmax)[None, :] < lens[:, None], flat[pos], 0)
+        orig = lambda gj: pairs[gj // 2][gj % 2].encode()
+        return self._store_mate_pair_chunk_arrays(
+            ascii_arr, lens, orig, dataset_number)
+
+    def _store_mate_pair_chunk_arrays(self, ascii_arr, lens, orig,
+                                      dataset_number):
+        """Core of the vectorized mate-pair second pass over a chunk given
+        as padded ASCII rows (reads interleaved: row 2k / 2k+1 = pair k).
+        `orig(j)` returns the original byte string of row j (only consulted
+        for contained-read remaps)."""
+        m2 = len(lens)
         codes = packing.ascii_to_codes(ascii_arr, lens)
         ok = packing.qc_mask_np(codes, lens, self.min_overlap)
         okpair = ok[0::2] & ok[1::2]
@@ -665,8 +753,7 @@ class Dataset:
             gsel = np.flatnonzero(sel)
             for j in np.flatnonzero(remap):
                 gj = int(gsel[j])
-                s = pairs[gj // 2][gj % 2]
-                orient[j] = 1 if s.encode() in self.read_strs[int(rid[j])] \
+                orient[j] = 1 if orig(gj) in self.read_strs[int(rid[j])] \
                     else 0
         add = self._add_mate_pair
         for r1, r2, o1, o2 in zip(rid[0::2].tolist(), rid[1::2].tolist(),

@@ -269,6 +269,22 @@ def test_fast_fasta_matches_stream_parser(tmp_path):
     # scan must reject the multi-line layout (fallback, not fast path)
     assert Dataset._scan_two_line_fasta(str(tmp_path / "c.fasta")) is None
     assert Dataset._scan_two_line_fasta(str(tmp_path / "a.fasta")) is not None
+    # FASTQ: the 4-line fast path must load the same reads as the stream
+    # parser (which appends the reference's phantom empty record)
+    fq = b"@a\nACGTACGTAC\n+\nIIIIIIIIII\n@b\nGGGTTTACCA\n+\nIIIIIIIIII\n"
+    (tmp_path / "q.fastq").write_bytes(fq)
+    assert Dataset._scan_four_line_fastq(str(tmp_path / "q.fastq")) \
+        is not None
+    ds_q = Dataset([], [str(tmp_path / "q.fastq")], 5,
+                   log=lambda *a, **k: None)
+    strs_q = sorted(ds_q.read_strs[i].decode()
+                    for i in range(1, ds_q.number_of_unique_reads + 1))
+    assert strs_q == sorted(base)
+    assert ds_q.number_of_reads == 2   # phantom record counted bad
+    # deviant line counts (5-line record) must fall back
+    bad_fq = b"@a\nACGT\n+\nIIII\nextra\n"
+    (tmp_path / "b.fastq").write_bytes(bad_fq)
+    assert Dataset._scan_four_line_fastq(str(tmp_path / "b.fastq")) is None
     # '>' embedded mid-line splits the record under the reference's
     # getline(file, '>') parse — the fast path must reject and fall back
     embedded = b">a\nAC>GT\n>b\nGGGTTTACCA\n"
