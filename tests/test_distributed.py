@@ -70,7 +70,10 @@ def test_two_process_full_pipeline(tmp_path):
     """The FULL assembler CLI across 2 processes on one global mesh: both
     ranks join one jax.distributed runtime, run the sharded engine over a
     dp=2 mesh spanning the processes, and every staged artifact from each
-    rank must byte-match the golden reference outputs."""
+    rank must byte-match the golden reference outputs.  The input is the
+    adversarial PAIRED-END set, so insert-size estimation, mate-pair path
+    merging, the scaffolder and resolveNodes all execute under the
+    multi-process mesh (VERDICT r3 item 7)."""
     golden = os.path.join(REPO, "golden")
     artifacts = [
         "_sortedReads.fasta", ".unitig", "_flow.input",
@@ -94,7 +97,8 @@ def test_two_process_full_pipeline(tmp_path):
         rankdir.mkdir()
         procs.append((rankdir, subprocess.Popen(
             [sys.executable, "-m", "metagenomics_tpu.cli",
-             "-se", "1", os.path.join(golden, "data", "se_small.fasta"),
+             "-pe", "2", os.path.join(golden, "data", "pe_hard_a.fasta"),
+             os.path.join(golden, "data", "pe_hard_b.fasta"),
              "-f", "t_", "-l", "40"],
             env=env, cwd=rankdir,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)))
@@ -111,7 +115,11 @@ def test_two_process_full_pipeline(tmp_path):
         assert p.returncode == 0, "rank %d:\n%s" % (rank, out[-3000:])
         for art in artifacts:
             got = (rankdir / ("t_" + art)).read_bytes()
-            want = open(os.path.join(golden, "out", "se_small",
+            want = open(os.path.join(golden, "out", "pe_hard",
                                      "g_" + art), "rb").read()
             assert got == want, \
                 "rank %d artifact mismatch: %s" % (rank, art)
+        # the PE late phases must actually have fired under the mesh
+        assert "Pairs of Edges merged out of" in out
+        assert "Average distance:" in out      # scaffolder merge lines
+        assert "Merging edges (" in out        # resolveNodes
