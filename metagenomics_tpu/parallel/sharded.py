@@ -52,6 +52,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import device_overlap as dov
+from .collectives import LEDGER
 
 
 def shard_map(f, mesh, in_specs, out_specs):
@@ -178,7 +179,7 @@ class ShardedOverlapPipeline:
 
         # stage 1: per-slice setup (each read processed exactly once)
         (self.pslice_f, self.pslice_r, self.hf_sl, self.keys_l, self.id_l,
-         qcnt, icnt) = self._setup()
+         qcnt, icnt) = self._with_phase("setup", self._setup)
         self.cap_q = int(dov._tier(
             max(int(self._np(qcnt).max()), 1), lo=1 << 8))
         self.cap_blk = int(dov._tier(
@@ -187,13 +188,23 @@ class ShardedOverlapPipeline:
         # stages 2+3: query + index routing, probe join, block assembly
         (self.pfwd, self.prev, self.lengths, self.sid2, self.rk,
          self.rleft, self.rcnt, self.row_hits_cum, row_tot,
-         grand_parts) = self._probe(
+         grand_parts) = self._with_phase(
+            "probe", self._probe,
             self.cap_q, self.cap_blk, self.pslice_f, self.pslice_r,
             self.hf_sl, self.lengths_sl, self.keys_l, self.id_l)
         self.row_tot = self._np(row_tot).astype(np.int64)
         parts = self._np(grand_parts).astype(np.int64)
         self.dev_tot = parts.sum(axis=1)           # per-device candidates
         self.grand = int(self.dev_tot.sum())
+
+
+    def _with_phase(self, name, fn, *args):
+        """Run one pipeline kernel under the collective ledger's phase:
+        trace-time LEDGER.record calls land in `name`, and each execution
+        bumps the phase's invocation count (collectives.py)."""
+        with LEDGER.phase(name):
+            LEDGER.invoke(name)
+            return fn(*args)
 
     def _np(self, arr):
         """Global array -> host numpy.  Single-process: direct.  Multi-
@@ -332,6 +343,7 @@ class ShardedOverlapPipeline:
             row0 = d * nloc + i * nloc2
 
             # ---- assemble this dp row's packed block + lengths ---------
+            LEDGER.record("all_gather", "ix", I, pf, pr, lengths)
             pfwd = jax.lax.all_gather(pf, "ix").reshape(-1, pf.shape[1])
             prev = jax.lax.all_gather(pr, "ix").reshape(-1, pr.shape[1])
             len_blk = jax.lax.all_gather(lengths, "ix").reshape(-1)
@@ -354,6 +366,7 @@ class ShardedOverlapPipeline:
                 (qrank, q, jnp.where(valid, qid, jnp.uint32(QPAD))),
                 num_keys=1, is_stable=True)
             qblk_k, qblk_id = _range_blocks(qsr, qskey, qsid, cap_q, QPAD)
+            LEDGER.record("all_to_all", "ix", I, qblk_k, qblk_id)
             qr_k = jax.lax.all_to_all(qblk_k, "ix", 0, 0,
                                       tiled=False).reshape(-1)
             qr_id = jax.lax.all_to_all(qblk_id, "ix", 0, 0,
@@ -365,8 +378,10 @@ class ShardedOverlapPipeline:
             else:
                 irank = jnp.zeros_like(keys_l, jnp.int32)
             iblk_k, iblk_id = _range_blocks(irank, keys_l, id_l, cap_blk, 0)
+            LEDGER.record("all_to_all", "ix", I, iblk_k, iblk_id)
             ir_k = jax.lax.all_to_all(iblk_k, "ix", 0, 0, tiled=False)
             ir_id = jax.lax.all_to_all(iblk_id, "ix", 0, 0, tiled=False)
+            LEDGER.record("all_gather", "dp", D, ir_k, ir_id)
             gk = jax.lax.all_gather(ir_k.reshape(-1), "dp").reshape(-1)
             gi = jax.lax.all_gather(ir_id.reshape(-1), "dp").reshape(-1)
             sk, sid = jax.lax.sort((gk, gi), num_keys=1, is_stable=True)
@@ -406,6 +421,7 @@ class ShardedOverlapPipeline:
                 jnp.clip(row, 0, nloc)].add(cq, mode="drop")
             row_hits_cum = jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_hits)])
+            LEDGER.record("psum", "ix", I, row_tot)
             row_tot_all = jax.lax.psum(row_tot, "ix")
 
             vp = -vsz % sum_block
@@ -461,7 +477,7 @@ class ShardedOverlapPipeline:
     @partial(jax.jit, static_argnames=("self", "cap", "m_blk", "cc"))
     def _emit_chunk(self, r0s, r1s, cap, m_blk, cc, rk_a, rleft_a, rcnt_a,
                     hcum_a, sid_a, pfwd_a, prev_a, lengths_a):
-        mesh, D = self.mesh, self.dp
+        mesh, D, I = self.mesh, self.dp, self.ix
         nloc, npos, w = self.nloc, self.npos, self.w
         hash_len, qw_max = self.hash_len, self.qw_max
 
@@ -529,6 +545,7 @@ class ShardedOverlapPipeline:
                              bmeta.astype(jnp.uint32)))
                 if t != D - 1:
                     perm = [(x, (x - 1) % D) for x in range(D)]
+                    LEDGER.record("ppermute", "dp", D, tile, tlen)
                     tile = jax.lax.ppermute(tile, "dp", perm)
                     tlen = jax.lax.ppermute(tlen, "dp", perm)
 
@@ -555,6 +572,7 @@ class ShardedOverlapPipeline:
 
             # cross-ix merge in global qid order (a bucket lives wholly in
             # one hash range, so streams never interleave within a query)
+            LEDGER.record("all_gather", "ix", I, qo, r2o, mo)
             qg = jax.lax.all_gather(qo, "ix").reshape(-1)
             r2g = jax.lax.all_gather(r2o, "ix").reshape(-1)
             mg = jax.lax.all_gather(mo, "ix").reshape(-1)
@@ -568,6 +586,7 @@ class ShardedOverlapPipeline:
             kc = jnp.zeros((nloc,), jnp.int32).at[
                 jnp.where(keep_f, jnp.clip(krow, 0, nloc), nloc)].add(
                 1, mode="drop")
+            LEDGER.record("psum", "ix", I, n_keep, kc)
             kc = jax.lax.psum(kc, "ix")
             return (qs[None], r2s[None].astype(jnp.int32),
                     ms[None].astype(jnp.uint16), nk_all.reshape(1), kc)
@@ -630,12 +649,14 @@ class ShardedOverlapPipeline:
             r0s = np.asarray([bounds[d][c] for d in range(D)], np.int32)
             r1s = np.asarray([bounds[d][c + 1] for d in range(D)],
                              np.int32)
-            hist = self._np(self._owner_hist(
+            hist = self._np(self._with_phase(
+                "owner_hist", self._owner_hist,
                 r0s, r1s, cap, self.rk, self.rleft, self.rcnt,
                 self.row_hits_cum, self.sid2))
             m_blk = min(int(dov._tier(max(int(hist.max()), 1), lo=1 << 8)),
                         cap)
-            qk, r2o, mo, nk, kc = self._emit_chunk(
+            qk, r2o, mo, nk, kc = self._with_phase(
+                "emit", self._emit_chunk,
                 r0s, r1s, cap, m_blk, check_cont, self.rk, self.rleft,
                 self.rcnt, self.row_hits_cum, self.sid2, self.pfwd,
                 self.prev, self.lengths)

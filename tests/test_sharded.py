@@ -104,3 +104,34 @@ def test_sharded_multichunk_matches_single_chunk(dp, ix):
     assert np.array_equal(c0, c1)
     assert np.array_equal(r0, r1)
     assert np.array_equal(m0, m1)
+
+
+def test_collective_ledger_accounts_stream():
+    """The collective ledger (parallel/collectives.py) must record every
+    phase's collectives with nonzero wire volume on a multi-device mesh and
+    produce a coherent report."""
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.parallel.collectives import LEDGER
+    from metagenomics_tpu.parallel.mesh import make_mesh
+    from metagenomics_tpu.parallel.sharded import ShardedOverlapPipeline
+
+    ds = Dataset([], [os.path.join(GOLDEN, "data", "se_small.fasta")], 40,
+                 log=lambda *a, **k: None)
+    LEDGER.reset()
+    sp = ShardedOverlapPipeline(ds, 40, mesh=make_mesh(dp=4, ix=2))
+    sp.stream(check_cont=False)
+    rep = LEDGER.report()
+    assert {"probe", "emit"} <= set(rep["phases"])
+    assert rep["total_payload_bytes"] > 0
+    assert rep["total_wire_bytes"] > 0
+    assert rep["model"]["projected_ici_seconds"] > 0
+    ops = {c["op"] for p in rep["phases"].values()
+           for c in p["collectives"]}
+    assert {"all_gather", "all_to_all", "ppermute", "psum"} <= ops
+    # wire model sanity: all_to_all moves (A-1)/A of its payload
+    for p in rep["phases"].values():
+        for c in p["collectives"]:
+            if c["op"] == "all_to_all":
+                a = c["axis_size"]
+                assert c["wire_bytes"] == int(
+                    c["payload_bytes"] * (a - 1) / a)
