@@ -19,6 +19,11 @@ CONFIGS = {
     "se_mixlen": ["-se", "1", os.path.join(GOLDEN, "data", "se_mixlen.fasta")],
     "pe_small": ["-pe", "1", os.path.join(GOLDEN, "data", "pe_small.fasta")],
     "pe_meta": ["-pe", "1", os.path.join(GOLDEN, "data", "pe_meta.fastq")],
+    # realistic PE FASTQ (make_realdata.py): sequencing errors, Ns,
+    # low-complexity junk, ragged lengths, lowercase — ~19% of reads
+    # QC-rejected, repeat structure from IS elements + a 2%-divergent
+    # segmental duplication (SURVEY M0 real-read debt, VERDICT r3 item 8)
+    "pe_real": ["-pe", "1", os.path.join(GOLDEN, "data", "pe_real.fastq")],
 }
 
 ARTIFACTS = [
