@@ -311,16 +311,20 @@ def measure_late():
         if proc.returncode != 0:
             return {"error": "assembler rc=%d" % proc.returncode}
         out = proc.stdout
+        # our log stream is byte-compatible with the reference's, so the
+        # phase extraction is IDENTICAL to measure_reference_late
+        fin = re.findall(
+            r"Function (\w+)\(\) finished in ([\d.e+-]+) Seconds", out)
         times = {}
-        for name, t in re.findall(
-                r"Function (\w+)\(?\)? finished in ([\d.e+-]+) Seconds", out):
+        for name, t in fin:
             times[name] = times.get(name, 0.0) + float(t)
-        construction = times.get("buildOverlapGraphFromHashTable", 0.0)
-        ingest = times.get("Dataset", 0.0)
+        construction = (times.get("insertDataset", 0.0)
+                        + times.get("buildOverlapGraphFromHashTable", 0.0))
+        ingest = (times.get("readDataset", 0.0) + times.get("sortReads", 0.0)
+                  + times.get("removeDupicateReads", 0.0))
         mid_io = (times.get("printDataset", 0.0)
                   + times.get("saveGraphToFile", 0.0))
-        m = re.search(r"Assembly finished in ([\d.]+) seconds", out)
-        total = float(m.group(1)) if m else wall
+        total = times.get("main", wall)
         late = total - ingest - construction - mid_io
         result = {
             "construction_s": round(construction, 3),

@@ -70,6 +70,31 @@ class _LazyLists:
         return self.n
 
 
+class _MatePairRows:
+    """Array-backed read -> [MatePair] view over the flat mp_* arrays
+    (sorted by read id); rows materialize as small lists on access."""
+
+    __slots__ = ("n", "rid", "mate", "orient", "dsn", "ptr")
+
+    def __init__(self, n_reads, rid, mate, orient, dsn):
+        self.n = n_reads + 1
+        self.rid = rid
+        self.mate = mate
+        self.orient = orient
+        self.dsn = dsn
+        self.ptr = np.searchsorted(rid, np.arange(n_reads + 2))
+
+    def __getitem__(self, i):
+        if i < 0 or i >= self.n:
+            raise IndexError(i)
+        s, e = int(self.ptr[i]), int(self.ptr[i + 1])
+        return [MatePair(int(self.mate[j]), int(self.orient[j]),
+                         int(self.dsn[j])) for j in range(s, e)]
+
+    def __len__(self):
+        return self.n
+
+
 class _LazyReadStrings:
     """read id -> ASCII byte string, decoded on demand from the rank-code
     matrix (one LUT gather per access).  Replaces the eager per-read bytes
@@ -147,7 +172,9 @@ class Dataset:
         # on first touch).
         u = self.number_of_unique_reads
         self.super_read_id = np.zeros(u + 1, dtype=np.int64)
-        self.mate_pair_lists = _LazyLists(u + 1)
+        self._mp_pending = []      # per-chunk mate-pair batches
+        self.mate_pair_lists = _MatePairRows(
+            u, self.mp_rid, self.mp_mate, self.mp_orient, self.mp_dataset)
         # read -> (edge, location) inverted index, maintained by the graph.
         self._edges_forward = _LazyLists(u + 1)
         self._loc_forward = _LazyLists(u + 1)
@@ -575,22 +602,43 @@ class Dataset:
                             mp.orientation, mp.dataset))
 
     def _build_mp_arrays(self):
-        """Flatten the per-read mate-pair lists into parallel arrays in the
-        reference's iteration order (read id, then list position).  The
-        late phases iterate mate pairs many times; array iteration avoids
-        per-entry attribute/dict lookups.  Immutable after this point."""
-        rid, mate, ori, dsn = [], [], [], []
-        if self.pe_files:
-            for i in range(1, self.number_of_unique_reads + 1):
-                for mp in self.mate_pair_lists[i]:
-                    rid.append(i)
-                    mate.append(mp.mate_id)
-                    ori.append(mp.orientation)
-                    dsn.append(mp.dataset)
-        self.mp_rid = np.asarray(rid, np.int64)
-        self.mp_mate = np.asarray(mate, np.int64)
-        self.mp_orient = np.asarray(ori, np.int64)
-        self.mp_dataset = np.asarray(dsn, np.int64)
+        """Build the flat mate-pair arrays from the pending per-chunk
+        batches, fully vectorized, in the reference's iteration order
+        (read id ascending, then per-read insertion order) with the
+        reference's per-read dedup of (mate, orientation, dataset) triples
+        keeping the FIRST occurrence (Read::addMatePair, Read.cpp:132-166).
+        Immutable after this point; mate_pair_lists becomes an array-backed
+        row view."""
+        parts = self._mp_pending
+        self._mp_pending = []
+        if parts:
+            rid = np.concatenate([p[0] for p in parts])
+            mate = np.concatenate([p[1] for p in parts])
+            ori = np.concatenate([p[2] for p in parts])
+            dsn = np.concatenate([np.full(len(p[0]), p[3], np.int64)
+                                  for p in parts])
+            k = np.arange(len(rid), dtype=np.int64)
+            order = np.lexsort((k, dsn, ori, mate, rid))
+            rs, ms, os_, ds_ = rid[order], mate[order], ori[order], dsn[order]
+            first = np.ones(len(rs), dtype=bool)
+            if len(rs) > 1:
+                first[1:] = ((rs[1:] != rs[:-1]) | (ms[1:] != ms[:-1])
+                             | (os_[1:] != os_[:-1]) | (ds_[1:] != ds_[:-1]))
+            keep = order[first]            # min-k (first occurrence) of group
+            fo = np.lexsort((keep, rid[keep]))
+            sel = keep[fo]
+            self.mp_rid = rid[sel]
+            self.mp_mate = mate[sel]
+            self.mp_orient = ori[sel]
+            self.mp_dataset = dsn[sel]
+        else:
+            self.mp_rid = np.zeros(0, np.int64)
+            self.mp_mate = np.zeros(0, np.int64)
+            self.mp_orient = np.zeros(0, np.int64)
+            self.mp_dataset = np.zeros(0, np.int64)
+        self.mate_pair_lists = _MatePairRows(
+            self.number_of_unique_reads, self.mp_rid, self.mp_mate,
+            self.mp_orient, self.mp_dataset)
 
     def _store_mate_pairs(self, path, dataset_number):
         """Vectorized second pass (Dataset.cpp:208-310): chunked batches of
@@ -612,15 +660,12 @@ class Dataset:
         def flush(pend):
             nonlocal good, bad, pairs_done
             g, b = self._store_mate_pair_chunk(pend, dataset_number)
-            # per-1e6-read heartbeats (Dataset.cpp:228-231); counts move in
-            # steps of 2 so boundaries always land on pair edges.  The
-            # good/bad split at an interior boundary would need per-pair
-            # replay; chunk-grained totals are exact at chunk boundaries
-            # and boundaries inside a chunk cannot occur (CH*2 divides 1e6
-            # is false, so track pairwise within the chunk instead).
-            for p in range(pairs_done, pairs_done + len(pend)):
-                if 2 * (p + 1) % 1000000 == 0:
-                    heartbeats.append(2 * (p + 1))
+            # per-1e6-read heartbeats (Dataset.cpp:228-231): reads move in
+            # steps of 2, so boundaries are the pair indices divisible by
+            # 500000 inside this chunk
+            lo, hi = pairs_done + 1, pairs_done + len(pend)
+            for p in range((lo + 499999) // 500000 * 500000, hi + 1, 500000):
+                heartbeats.append(2 * p)
             pairs_done += len(pend)
             good += g
             bad += b
@@ -655,9 +700,11 @@ class Dataset:
 
                 g, b = self._store_mate_pair_chunk_arrays(
                     ascii_arr, ls, orig, dataset_number)
-                for p in range(pairs_done, pairs_done + (e - s) // 2):
-                    if 2 * (p + 1) % 1000000 == 0:
-                        heartbeats.append(2 * (p + 1))
+                lo = pairs_done + 1
+                hi = pairs_done + (e - s) // 2
+                for p in range((lo + 499999) // 500000 * 500000, hi + 1,
+                               500000):
+                    heartbeats.append(2 * p)
                 pairs_done += (e - s) // 2
                 good += g
                 bad += b
@@ -755,12 +802,22 @@ class Dataset:
                 gj = int(gsel[j])
                 orient[j] = 1 if orig(gj) in self.read_strs[int(rid[j])] \
                     else 0
-        add = self._add_mate_pair
-        for r1, r2, o1, o2 in zip(rid[0::2].tolist(), rid[1::2].tolist(),
-                                  orient[0::2].tolist(),
-                                  orient[1::2].tolist()):
-            add(r1, r2, o1 * 2 + o2, dataset_number)
-            add(r2, r1, o1 + o2 * 2, dataset_number)
+        # both directions of every pair, interleaved in the reference's
+        # insertion order (r1-entry then r2-entry per pair); dedup happens
+        # vectorized in _build_mp_arrays
+        r1a, r2a = rid[0::2], rid[1::2]
+        o1a, o2a = orient[0::2], orient[1::2]
+        m = len(r1a)
+        rids = np.empty(2 * m, np.int64)
+        rids[0::2] = r1a
+        rids[1::2] = r2a
+        mates = np.empty(2 * m, np.int64)
+        mates[0::2] = r2a
+        mates[1::2] = r1a
+        ors = np.empty(2 * m, np.int64)
+        ors[0::2] = o1a * 2 + o2a
+        ors[1::2] = o1a + o2a * 2
+        self._mp_pending.append((rids, mates, ors, dataset_number))
         return good, bad
 
     def _batch_find_ids(self, q):
@@ -787,14 +844,6 @@ class Dataset:
             raise KeyError("String not found in Dataset")
         return lo + 1
 
-    def _add_mate_pair(self, rid, mate_id, orientation, dataset_number):
-        lst = self.mate_pair_lists[rid]
-        for mp in lst:
-            if (mp.mate_id == mate_id and mp.orientation == orientation
-                    and mp.dataset == dataset_number):
-                return
-        lst.append(MatePair(mate_id, orientation, dataset_number))
-
     # -------------------------------------------------------------- artifacts
 
     def save_reads(self, path):
@@ -802,20 +851,22 @@ class Dataset:
         reads are decoded in blocked batches (one LUT gather per block)."""
         n = self.number_of_unique_reads
         B = 1 << 15
-        with open(path, "w") as f:
+        with open(path, "wb") as f:
             for s in range(1, n + 1, B):
                 e = min(s + B, n + 1)
                 amat = packing.codes_to_ascii_all(self.codes_fwd[s:e])
                 lens = self.lengths[s:e].tolist()
                 sups = self.super_read_id[s:e].tolist()
+                flat = amat.reshape(-1).data
+                w = amat.shape[1]
                 rows = []
                 for t in range(e - s):
                     sup = sups[t]
-                    rows.append("%10d %s %10d %s\n" % (
+                    rows.append(b"%10d %b %10d %b\n" % (
                         s + t,
-                        "Contained in" if sup != 0 else "Noncontained",
-                        sup, amat[t, :lens[t]].tobytes().decode()))
-                f.write("".join(rows))
+                        b"Contained in" if sup else b"Noncontained",
+                        sup, flat[t * w:t * w + lens[t]]))
+                f.write(b"".join(rows))
 
 
 def _test_read(s: str) -> bool:

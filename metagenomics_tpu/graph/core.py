@@ -295,40 +295,58 @@ class GraphCore:
         fwd[0] = edge.orient in (2, 3)
         fwd[1:-1] = np.asarray(edge.list_orients, np.int64) == 1
         fwd[-1] = edge.orient in (1, 3)
-        lens = ds.lengths[rids].tolist()
-        offs = edge.list_offsets
-        parts = []
-        prev_len = lens[0]
+        lens_a = ds.lengths[rids]
+        offs_a = np.asarray(edge.list_offsets, np.int64)
+        # per-row emitted piece: row t contributes its tail
+        # [rt_len - sub_len, rt_len) plus an optional 'N' gap marker BEFORE
+        # it (offset == previous read length, OverlapGraph.cpp:2021-2022)
+        sub = np.empty(n, np.int64)
+        sub[0] = lens_a[0]
+        sub[1:-1] = lens_a[1:-1] + offs_a - lens_a[:-2]
+        sub[-1] = edge.reverse.list_offsets[0]
+        sub_pos = np.maximum(sub, 0)
+        gap = np.zeros(n, np.int64)
+        gap[1:-1] = offs_a == lens_a[:-2]
+        piece = gap + sub_pos                  # output bytes per row
+        out_end = np.cumsum(piece)
+        total = int(out_end[-1])
+        out = np.empty(total, np.uint8)
+        out_start = out_end - piece            # includes the gap slot
+        gap_rows = np.flatnonzero(gap)
+        if len(gap_rows):
+            out[out_start[gap_rows]] = ord("N")
         B = 1 << 15
+        lmax = ds.codes_fwd.shape[1]
         for s in range(0, n, B):
             e = min(s + B, n)
             block = rids[s:e]
             f = fwd[s:e]
-            mat = np.empty((e - s, ds.codes_fwd.shape[1]), np.uint8)
+            mat = np.empty((e - s, lmax), np.uint8)
             if f.any():
                 mat[f] = ds.codes_fwd[block[f]]
             nf = ~f
             if nf.any():
                 mat[nf] = ds.codes_rev[block[nf]]
-            amat = packing.codes_to_ascii_all(mat)
-            for t in range(s, e):
-                row = amat[t - s]
-                rt_len = lens[t]
-                if t == 0:
-                    parts.append(row[:rt_len].tobytes())
-                elif t < n - 1:
-                    off = offs[t - 1]
-                    sub_len = rt_len + off - prev_len
-                    if off == prev_len:
-                        parts.append(b"N")
-                    if sub_len > 0:
-                        parts.append(row[rt_len - sub_len:rt_len].tobytes())
-                else:
-                    sub_len = edge.reverse.list_offsets[0]
-                    if sub_len > 0:
-                        parts.append(row[rt_len - sub_len:rt_len].tobytes())
-                prev_len = rt_len
-        return b"".join(parts)
+            amat = packing.codes_to_ascii_all(mat).reshape(-1)
+            # expand this block's tail pieces into one flat gather
+            pl = sub_pos[s:e]
+            src0 = (np.arange(e - s, dtype=np.int64) * lmax
+                    + lens_a[s:e] - pl)
+            dst0 = out_start[s:e] + gap[s:e]
+            m = int(pl.sum())
+            if m:
+                step = np.ones(m, np.int64)
+                heads = np.cumsum(np.concatenate(([0], pl[:-1])))
+                nz = pl > 0
+                step[heads[nz]] = np.concatenate(
+                    ([src0[nz][0]], np.diff(src0[nz]) - pl[nz][:-1] + 1))
+                src_idx = np.cumsum(step)
+                dstep = np.ones(m, np.int64)
+                dstep[heads[nz]] = np.concatenate(
+                    ([dst0[nz][0]], np.diff(dst0[nz]) - pl[nz][:-1] + 1))
+                dst_idx = np.cumsum(dstep)
+                out[dst_idx] = amat[src_idx]
+        return out.tobytes()
 
     # ---------------------------------------------------------- artifacts
 
@@ -390,20 +408,35 @@ class GraphCore:
         std_sort(contig_edges, lambda a, b: a.offset < b.offset)
         contig_edges.reverse()
         total = 0
-        with open(contig_path, "w") as f:
+        import numpy as np
+        with open(contig_path, "wb") as f:
             for idx, e in enumerate(contig_edges):
                 s = self.get_string_in_edge(e)
-                f.write(">contig_%d Flow: %10d Edge  (%10d, %10d) "
-                        "String Length: %10d Coverage: %10d\n"
+                f.write(b">contig_%d Flow: %10d Edge  (%10d, %10d) "
+                        b"String Length: %10d Coverage: %10d\n"
                         % (idx + 1, e.flow, e.source, e.destination,
                            len(s), e.coverage_depth))
                 total += len(s)
-                start = 0
-                while True:
-                    f.write(s[start:start + 100].decode() + "\n")
-                    start += 100
-                    if start >= len(s):
-                        break
+                # 100bp lines in one vectorized newline insertion (the
+                # reference emits a line even for a 0-length final chunk
+                # only when start < len, i.e. never an empty trailing line,
+                # but a 0-length contig still prints one empty line)
+                if len(s) == 0:
+                    f.write(b"\n")
+                    continue
+                nlines = (len(s) + 99) // 100
+                buf = np.full((nlines, 101), ord("\n"), np.uint8)
+                rows = np.frombuffer(s, np.uint8)
+                full = len(s) // 100
+                buf[:full, :100] = rows[:full * 100].reshape(-1, 100)
+                rem = len(s) - full * 100
+                if rem:
+                    buf[full, :rem] = rows[full * 100:]
+                    buf[full, rem] = ord("\n")
+                    out = buf.reshape(-1)[:full * 101 + rem + 1]
+                else:
+                    out = buf.reshape(-1)
+                f.write(out.tobytes())
         self.log("Total contig length: %d BP" % total)
         self.log("Number of Nodes in the graph: %d" % self.number_of_nodes)
         self.log("Number of Edges in the graph: %d" % (self.number_of_edges // 2))

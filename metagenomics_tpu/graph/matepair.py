@@ -71,21 +71,32 @@ class MatePairMixin:
         # the stale entries too.  The edge token is its construction serial
         # (unique per Edge object == pointer identity; the stale list
         # reference keeps the Python object alive, so serials never alias).
+        EMPTY = ()
+        efc, erc = ds.edges_forward, ds.edges_reverse
+        lfc, lrc = ds.loc_forward, ds.loc_reverse
+        if hasattr(efc, "d"):
+            # lazy container: visit touched rows only (indexing through it
+            # would materialize an empty list per untouched read)
+            efd, erd, lfd, lrd = efc.d, erc.d, lfc.d, lrc.d
+            ef = lambda i: efd.get(i, EMPTY)
+            er = lambda i: erd.get(i, EMPTY)
+            lf = lambda i: lfd.get(i, EMPTY)
+            lr = lambda i: lrd.get(i, EMPTY)
+            rows = sorted(k for k in (efd.keys() | erd.keys())
+                          if efd.get(k) or erd.get(k))
+        else:
+            ef, er, lf, lr = (efc.__getitem__, erc.__getitem__,
+                              lfc.__getitem__, lrc.__getitem__)
+            rows = [i for i in range(1, n + 1) if efc[i] or erc[i]]
         counts = np.zeros(n + 1, np.int64)
-        tok_list = []
-        loc_list = []
-        for i in range(1, n + 1):
-            ef, er = ds.edges_forward[i], ds.edges_reverse[i]
-            c = len(ef) + len(er)
-            if not c:
-                continue
-            counts[i] = c
-            tok_list.extend(e.serial for e in ef)
-            tok_list.extend(e.serial for e in er)
-            loc_list.extend(ds.loc_forward[i])
-            loc_list.extend(ds.loc_reverse[i])
-        toks = np.asarray(tok_list, np.int64)
-        locs = np.asarray(loc_list, np.int64)
+        for i in rows:
+            counts[i] = len(ef(i)) + len(er(i))
+        toks = np.asarray(
+            [e.serial for i in rows
+             for lst in (ef(i), er(i)) for e in lst], np.int64)
+        locs = np.asarray(
+            [v for i in rows
+             for lst in (lf(i), lr(i)) for v in lst], np.int64)
         indptr = np.zeros(n + 2, np.int64)
         np.cumsum(counts, out=indptr[1:])
 
