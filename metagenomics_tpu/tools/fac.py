@@ -66,20 +66,49 @@ def fac_stats(path, threshold=200, genome_size=None):
     }
 
 
+def eng(x):
+    """abyss-fac's eng() number shortening (abyss-fac.pl:17-23); perl
+    stringifies floats as %.15g (integral values print without '.0')."""
+    if x < 10000000:
+        return str(x)
+    if x < 1000000000:
+        return ("%.15g" % (x / 1000000))[:5] + "e6"
+    return ("%.15g" % (x / 1000000000))[:5] + "e9"
+
+
+def format_row(st, path, jira=False):
+    """One output row in the reference's perl-format layout: nine
+    8-column left-justified fields then the path (abyss-fac.pl:100-109)."""
+    vals = [eng(st["n"]), eng(st["n_kept"]), st["n_n50"], st["min"],
+            st["N80"], st["N50"], st["N20"], st["max"], eng(st["sum"])]
+    if jira:
+        return "|" + "|".join("%-7.7s" % v for v in map(str, vals)) \
+            + "|" + path + "|"
+    return "".join("%-8.8s" % v for v in map(str, vals)) + path
+
+
+def format_header(threshold, jira=False):
+    if jira:
+        return ("||n    ||n:%-4s||n:N50 ||min   ||N80   ||N50   ||N20   "
+                "||max   ||sum   ||" % threshold)
+    return ("n       n:%-5s n:N50   min     N80     N50     N20     max"
+            "     sum" % threshold)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-t", "--threshold", type=int, default=200)
     p.add_argument("-g", "--genome-size", type=int, default=None)
+    p.add_argument("-j", "--jira", action="store_true")
     p.add_argument("files", nargs="+")
     args = p.parse_args(argv)
-    cols = ["n", "n_kept", "n_n50", "min", "N80", "N50", "N20", "max", "sum"]
-    print("\t".join(cols + ["file"]))
+    print(format_header(args.threshold, args.jira))
     for path in args.files:
         st = fac_stats(path, args.threshold, args.genome_size)
         if st is None:
             print("warning: `%s' is empty" % path, file=sys.stderr)
             continue
-        print("\t".join(str(st[c]) for c in cols) + "\t" + path)
+        print(format_row(st, path, args.jira))
 
 
 if __name__ == "__main__":
