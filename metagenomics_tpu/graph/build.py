@@ -106,14 +106,13 @@ class BuildMixin:
         ds.read_mate_pairs_from_file()
         fixpoint_log = (res["bfs_nodes"], res["bfs_edges"], res["iter_log"])
         self._load_native_result(res)
-        # the read->(edge, offset) inverted index is construction work in
-        # the reference (updateReadLocations during BFS/contraction);
-        # materialize it here rather than lazily inside a late phase.
-        # res holds the engine's numpy result arrays — release them first
-        # so the Python list containers don't stack on top of them
+        # the read->(edge, offset) inverted index was built as flat ARRAYS
+        # inside the native engine (finalize_locations — that is the
+        # reference's updateReadLocations construction work); conversion to
+        # per-read Python lists happens lazily on first access, so phases
+        # that never touch the lists (single-end runs, array-path
+        # insert-size estimation) never pay for it
         res = None
-        if ds._pending_locations is not None:
-            ds._materialize_locations()
         self._emit_native_fixpoint_log(*fixpoint_log)
         return True
 

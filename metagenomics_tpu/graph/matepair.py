@@ -71,34 +71,51 @@ class MatePairMixin:
         # the stale entries too.  The edge token is its construction serial
         # (unique per Edge object == pointer identity; the stale list
         # reference keeps the Python object alive, so serials never alias).
-        EMPTY = ()
-        efc, erc = ds.edges_forward, ds.edges_reverse
-        lfc, lrc = ds.loc_forward, ds.loc_reverse
-        if hasattr(efc, "d"):
-            # lazy container: visit touched rows only (indexing through it
-            # would materialize an empty list per untouched read)
-            efd, erd, lfd, lrd = efc.d, erc.d, lfc.d, lrc.d
-            ef = lambda i: efd.get(i, EMPTY)
-            er = lambda i: erd.get(i, EMPTY)
-            lf = lambda i: lfd.get(i, EMPTY)
-            lr = lambda i: lrd.get(i, EMPTY)
-            rows = sorted(k for k in (efd.keys() | erd.keys())
-                          if efd.get(k) or erd.get(k))
+        pend = getattr(ds, "_pending_locations", None)
+        if pend is not None:
+            # native-engine arrays, untouched by any list mutation: build
+            # the CSR directly (rows are already forward-then-reverse per
+            # read, the reference's concatenation order)
+            edges_l, cf, cr, loc_edge_pos, loc_dist = pend
+            serial_arr = np.fromiter((e.serial for e in edges_l), np.int64,
+                                     len(edges_l)) if edges_l else \
+                np.zeros(0, np.int64)
+            toks = (serial_arr[loc_edge_pos] if len(edges_l)
+                    else np.zeros(0, np.int64))
+            locs = np.asarray(loc_dist, np.int64)
+            counts = (np.asarray(cf, np.int64)
+                      + np.asarray(cr, np.int64))[:n + 1]
+            indptr = np.zeros(n + 2, np.int64)
+            np.cumsum(counts, out=indptr[1:])
         else:
-            ef, er, lf, lr = (efc.__getitem__, erc.__getitem__,
-                              lfc.__getitem__, lrc.__getitem__)
-            rows = [i for i in range(1, n + 1) if efc[i] or erc[i]]
-        counts = np.zeros(n + 1, np.int64)
-        for i in rows:
-            counts[i] = len(ef(i)) + len(er(i))
-        toks = np.asarray(
-            [e.serial for i in rows
-             for lst in (ef(i), er(i)) for e in lst], np.int64)
-        locs = np.asarray(
-            [v for i in rows
-             for lst in (lf(i), lr(i)) for v in lst], np.int64)
-        indptr = np.zeros(n + 2, np.int64)
-        np.cumsum(counts, out=indptr[1:])
+            EMPTY = ()
+            efc, erc = ds.edges_forward, ds.edges_reverse
+            lfc, lrc = ds.loc_forward, ds.loc_reverse
+            if hasattr(efc, "d"):
+                # lazy container: visit touched rows only (indexing through
+                # it would materialize an empty list per untouched read)
+                efd, erd, lfd, lrd = efc.d, erc.d, lfc.d, lrc.d
+                ef = lambda i: efd.get(i, EMPTY)
+                er = lambda i: erd.get(i, EMPTY)
+                lf = lambda i: lfd.get(i, EMPTY)
+                lr = lambda i: lrd.get(i, EMPTY)
+                rows = sorted(k for k in (efd.keys() | erd.keys())
+                              if efd.get(k) or erd.get(k))
+            else:
+                ef, er, lf, lr = (efc.__getitem__, erc.__getitem__,
+                                  lfc.__getitem__, lrc.__getitem__)
+                rows = [i for i in range(1, n + 1) if efc[i] or erc[i]]
+            counts = np.zeros(n + 1, np.int64)
+            for i in rows:
+                counts[i] = len(ef(i)) + len(er(i))
+            toks = np.asarray(
+                [e.serial for i in rows
+                 for lst in (ef(i), er(i)) for e in lst], np.int64)
+            locs = np.asarray(
+                [v for i in rows
+                 for lst in (lf(i), lr(i)) for v in lst], np.int64)
+            indptr = np.zeros(n + 2, np.int64)
+            np.cumsum(counts, out=indptr[1:])
 
         for d in range(ndatasets):
             self.log("Calculating mean and SD of dataset: %d" % d)
