@@ -392,6 +392,21 @@ def measure_device_subprocess():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)   # let the TPU backend claim the device
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # link-health probe: the tunneled device link sometimes degrades to
+    # KB/s; a full device run would then burn the measurement window.
+    # Require a 1MB D2H round-trip to finish within the probe timeout.
+    probe = ("import time,numpy as np,jax,jax.numpy as jnp;"
+             "x=jnp.ones((512,512),jnp.float32);x.block_until_ready();"
+             "t0=time.time();h=np.asarray(x);"
+             "print('LINK_OK %.2f' % (time.time()-t0))")
+    try:
+        pr = subprocess.run([sys.executable, "-c", probe],
+                            capture_output=True, text=True, timeout=300,
+                            env=env)
+        if "LINK_OK" not in pr.stdout:
+            return None
+    except subprocess.TimeoutExpired:
+        return None
     for _attempt in range(2):
         try:
             proc = subprocess.run(
