@@ -180,31 +180,37 @@ class GraphCore:
         """Maintain the read -> (edge, offset) inverted index
         (OverlapGraph.cpp:1048-1071)."""
         ds = self.ds
+        ef, er = ds.edges_forward, ds.edges_reverse   # hoist: property
+        lf, lr = ds.loc_forward, ds.loc_reverse       # deref once per call
         distance = 0
         for rid, off, orient in zip(edge.list_reads, edge.list_offsets,
                                     edge.list_orients):
             distance += off
             if orient == 1:
-                ds.edges_forward[rid].append(edge)
-                ds.loc_forward[rid].append(distance)
+                ef[rid].append(edge)
+                lf[rid].append(distance)
             else:
-                ds.edges_reverse[rid].append(edge)
-                ds.loc_reverse[rid].append(distance)
+                er[rid].append(edge)
+                lr[rid].append(distance)
 
     def remove_read_locations(self, edge):
         """Swap-with-last removal from the inverted index
-        (OverlapGraph.cpp:1079-1115)."""
+        (OverlapGraph.cpp:1079-1115); the index-advance-after-swap quirk is
+        bug-compatible with the reference."""
         ds = self.ds
+        ef, er = ds.edges_forward, ds.edges_reverse
+        lf, lr = ds.loc_forward, ds.loc_reverse
         for rid in edge.list_reads:
-            for edges, locs in ((ds.edges_forward[rid], ds.loc_forward[rid]),
-                                (ds.edges_reverse[rid], ds.loc_reverse[rid])):
+            for edges, locs in ((ef[rid], lf[rid]), (er[rid], lr[rid])):
                 j = 0
-                while j < len(edges):
+                n = len(edges)
+                while j < n:
                     if edges[j] is edge:
-                        edges[j] = edges[-1]
-                        locs[j] = locs[-1]
-                        edges.pop()
-                        locs.pop()
+                        n -= 1
+                        edges[j] = edges[n]
+                        locs[j] = locs[n]
+                        del edges[n]
+                        del locs[n]
                     j += 1
 
     # ------------------------------------------------------------- merging

@@ -184,25 +184,31 @@ class MatePairMixin:
     # ------------------------------------------------------- path discovery
 
     def find_path_between_matepairs(self, r1, r2, orient, dataset_number,
-                                    copy_of_path, copy_of_flags):
+                                    copy_of_path, copy_of_flags, loc=None):
         """Returns False iff the pair lies on one edge (OverlapGraph.cpp:
         1645-1730); fills copy_of_path / copy_of_flags with the supported
-        adjacency chain."""
+        adjacency chain.  `loc` optionally carries the four hoisted
+        location containers (ef, er, lf, lr) — the hot caller passes them
+        to skip four property derefs per mate pair."""
         ds = self.ds
         copy_of_path.clear()
         copy_of_flags.clear()
+        if loc is None:
+            loc = (ds.edges_forward, ds.edges_reverse,
+                   ds.loc_forward, ds.loc_reverse)
+        ef, er, lf, lr = loc
         if orient in (2, 3):
-            list1 = ds.edges_forward[r1]
-            loc1 = ds.loc_forward[r1]
+            list1 = ef[r1]
+            loc1 = lf[r1]
         else:
-            list1 = ds.edges_reverse[r1]
-            loc1 = ds.loc_reverse[r1]
+            list1 = er[r1]
+            loc1 = lr[r1]
         if orient in (0, 2):
-            list2 = ds.edges_forward[r2]
-            loc2 = ds.loc_forward[r2]
+            list2 = ef[r2]
+            loc2 = lf[r2]
         else:
-            list2 = ds.edges_reverse[r2]
-            loc2 = ds.loc_reverse[r2]
+            list2 = er[r2]
+            loc2 = lr[r2]
 
         if not list1 or not list2:
             return False
@@ -327,12 +333,14 @@ class MatePairMixin:
         means = np.asarray(self.mean_of_insert_sizes, np.int64)
         sel = np.flatnonzero((ds.mp_rid <= ds.mp_mate)
                              & (means[ds.mp_dataset] != 0))
+        loc = (ds.edges_forward, ds.edges_reverse,
+               ds.loc_forward, ds.loc_reverse)
         for i, r2, mp_orient, mp_ds in zip(
                 ds.mp_rid[sel].tolist(), ds.mp_mate[sel].tolist(),
                 ds.mp_orient[sel].tolist(), ds.mp_dataset[sel].tolist()):
             if self.find_path_between_matepairs(
                     i, r2, mp_orient, mp_ds,
-                    copy_of_path, copy_of_flags):
+                    copy_of_path, copy_of_flags, loc):
                 if len(copy_of_path) == 0:
                     no_paths += 1
                 else:
