@@ -1,5 +1,8 @@
-"""Flatten multi-line FASTA to one uppercase line per sequence
-(reference: MetaGenomics/Debug/format_fasta.pl).
+"""Flatten multi-line FASTA to one uppercase line per sequence — behavioral
+twin of the reference's format_fasta.pl (MetaGenomics/Debug/format_fasta.pl):
+leading junk before the first '>' is skipped, carriage returns are stripped,
+only sequence text is uppercased, headers pass through verbatim, and the
+final record flushes at EOF.
 
 Usage: python -m metagenomics_tpu.tools.format_fasta in.fasta > out.fasta
 """
@@ -8,19 +11,29 @@ import sys
 
 
 def format_fasta(infile, outfile):
-    header = None
-    parts = []
-    for line in infile:
-        line = line.rstrip("\n")
-        if line.startswith(">"):
-            if header is not None:
-                outfile.write(header + "\n" + "".join(parts).upper() + "\n")
-            header = line
-            parts = []
-        else:
-            parts.append(line)
-    if header is not None:
-        outfile.write(header + "\n" + "".join(parts).upper() + "\n")
+    line = ""
+    while not line.startswith(">"):
+        line = infile.readline()
+        if not line:
+            return
+    outfile.write(line.replace("\r", ""))
+    prev = ""
+    while True:
+        line = infile.readline()
+        if not line:
+            outfile.write(prev + "\n")
+            return
+        line = line.replace("\r", "")
+        while not line.startswith(">"):
+            prev = (prev + line.rstrip("\n")).upper()
+            line = infile.readline()
+            if not line:
+                outfile.write(prev + "\n")
+                return
+            line = line.replace("\r", "")
+        outfile.write(prev + "\n")
+        outfile.write(line)
+        prev = ""
 
 
 def main(argv=None):

@@ -1,6 +1,11 @@
 """Interleave separate R1/R2 mate files into the adjacent-mate layout the
-assembler expects (reference: MetaGenomics/Debug/shuffleSequences_fasta.pl
-and shuffleSequences_fastq.pl).
+assembler expects — behavioral twins of the reference's
+shuffleSequences_fasta.pl / shuffleSequences_fastq.pl
+(MetaGenomics/Debug/): lines pass through VERBATIM (multi-line FASTA
+records stay multi-line), the FASTA record boundary is any line containing
+'>' (the perl regex m/>/ is unanchored), FASTQ interleaves blind 4-line
+groups, and an exhausted B-file contributes empty text exactly like perl's
+undefined-line prints.
 
 Usage: python -m metagenomics_tpu.tools.shuffle R1.fastx R2.fastx out.fastx
 """
@@ -8,38 +13,47 @@ Usage: python -m metagenomics_tpu.tools.shuffle R1.fastx R2.fastx out.fastx
 import sys
 
 
-def _records(path):
-    with open(path) as f:
-        first = f.read(1)
-        f.seek(0)
-        if first == ">":
-            header = None
-            parts = []
-            for line in f:
-                line = line.rstrip("\n")
-                if line.startswith(">"):
-                    if header is not None:
-                        yield header + "\n" + "".join(parts) + "\n"
-                    header = line
-                    parts = []
-                else:
-                    parts.append(line)
-            if header is not None:
-                yield header + "\n" + "".join(parts) + "\n"
-        elif first == "@":
-            while True:
-                rec = [f.readline() for _ in range(4)]
-                if not rec[0]:
-                    return
-                yield "".join(rec)
-        else:
-            raise ValueError("Unknown input file format: " + path)
+def shuffle_fasta(fa, fb, out):
+    """shuffleSequences_fasta.pl:22-37."""
+    line_a = fa.readline()
+    line_b = fb.readline()
+    while line_a:
+        out.write(line_a)
+        line_a = fa.readline()
+        while line_a and ">" not in line_a:
+            out.write(line_a)
+            line_a = fa.readline()
+        out.write(line_b)
+        line_b = fb.readline()
+        while line_b and ">" not in line_b:
+            out.write(line_b)
+            line_b = fb.readline()
+
+
+def shuffle_fastq(fa, fb, out):
+    """shuffleSequences_fastq.pl:12-29 — blind 4-line groups; the loop
+    stops when file A's group-leading line is EOF."""
+    while True:
+        line = fa.readline()
+        if not line:
+            return
+        out.write(line)
+        for _ in range(3):
+            out.write(fa.readline())
+        for _ in range(4):
+            out.write(fb.readline())
 
 
 def shuffle(path1, path2, out):
-    for r1, r2 in zip(_records(path1), _records(path2)):
-        out.write(r1)
-        out.write(r2)
+    with open(path1) as fa, open(path2) as fb:
+        first = fa.read(1)
+        fa.seek(0)
+        if first == "@":
+            shuffle_fastq(fa, fb, out)
+        elif first == ">" or first == "":
+            shuffle_fasta(fa, fb, out)
+        else:
+            raise ValueError("Unknown input file format: " + path1)
 
 
 def main(argv=None):

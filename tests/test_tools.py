@@ -69,3 +69,54 @@ def test_fac_matches_reference_options(tmp_path):
                  ["-g", "2000000", *paths],
                  ["-j", *paths]):
         assert _run_ours(list(args)) == _run_ref(list(args)), args
+
+
+REF_FMT = "/root/reference/MetaGenomics/Debug/format_fasta.pl"
+REF_SHUF_FA = "/root/reference/MetaGenomics/Debug/shuffleSequences_fasta.pl"
+REF_SHUF_FQ = "/root/reference/MetaGenomics/Debug/shuffleSequences_fastq.pl"
+
+
+@needs_perl
+def test_format_fasta_matches_perl(tmp_path):
+    cases = [
+        b">a\nacgt\nACGT\n>b desc\nttt\n",
+        b"junk\nmore junk\n>a\nacg\ntac\n",               # preamble skipped
+        b">a\r\nac\r\ngt\r\n>b\nTT\n",                    # carriage returns
+        b">only_header\n",
+        b">a\nACGT\n>b\nGG\n>c\nAAAA\nCCC\n",
+        b">a\nACGT",                                      # no trailing \n
+    ]
+    for k, data in enumerate(cases):
+        p = tmp_path / ("f%d.fa" % k)
+        p.write_bytes(data)
+        ours = subprocess.run(
+            [sys.executable, "-m", "metagenomics_tpu.tools.format_fasta",
+             str(p)], capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "PYTHONPATH": REPO}).stdout
+        ref = subprocess.run([perl, REF_FMT, str(p)],
+                             capture_output=True, text=True).stdout
+        assert ours == ref, (k, ours, ref)
+
+
+@needs_perl
+def test_shuffle_matches_perl(tmp_path):
+    fa1 = tmp_path / "r1.fa"
+    fa2 = tmp_path / "r2.fa"
+    # multi-line records and uneven record counts
+    fa1.write_text(">p1/1\nACGT\nTTTT\n>p2/1\nGGG\n>p3/1\nCC\n")
+    fa2.write_text(">p1/2\nTTAA\n>p2/2\nAAA\nC\n")
+    fq1 = tmp_path / "r1.fq"
+    fq2 = tmp_path / "r2.fq"
+    fq1.write_text("@p1/1\nACGT\n+\nIIII\n@p2/1\nGG\n+\nII\n")
+    fq2.write_text("@p1/2\nTTAA\n+\nIIII\n")
+    for a, b, ref_script in ((fa1, fa2, REF_SHUF_FA),
+                             (fq1, fq2, REF_SHUF_FQ)):
+        out_ours = tmp_path / "ours.out"
+        out_ref = tmp_path / "ref.out"
+        subprocess.run(
+            [sys.executable, "-m", "metagenomics_tpu.tools.shuffle",
+             str(a), str(b), str(out_ours)], cwd=REPO,
+            env={**os.environ, "PYTHONPATH": REPO}, check=True)
+        subprocess.run([perl, ref_script, str(a), str(b), str(out_ref)],
+                       check=True)
+        assert out_ours.read_bytes() == out_ref.read_bytes(), ref_script
