@@ -104,7 +104,8 @@ class BuildMixin:
         ds.super_read_id[:] = res["supers"]
         self._log_contained(mixed)
         ds.read_mate_pairs_from_file()
-        fixpoint_log = (res["bfs_nodes"], res["bfs_edges"], res["iter_log"])
+        fixpoint_log = (res["bfs_nodes"], res["bfs_edges"], res["iter_log"],
+                        res["bfs_heartbeats"])
         self._load_native_result(res)
         # the read->(edge, offset) inverted index was built as flat ARRAYS
         # inside the native engine (finalize_locations — that is the
@@ -116,12 +117,18 @@ class BuildMixin:
         self._emit_native_fixpoint_log(*fixpoint_log)
         return True
 
-    def _emit_native_fixpoint_log(self, bfs_nodes, bfs_edges, iter_log):
+    def _emit_native_fixpoint_log(self, bfs_nodes, bfs_edges, iter_log,
+                                  heartbeats=()):
         """Replay the reference's construction log tail from the native
-        engine's recorded counters: the final BFS progress line
-        (OverlapGraph.cpp:205, counter == number of unique reads) and one
-        contract/dead-end CLOCK block pair per fixpoint iteration
-        (:211-215, including the terminating all-zero iteration)."""
+        engine's recorded counters: the mid-BFS progress heartbeats
+        (counter%100000, OverlapGraph.cpp:200-201, reconstructed from
+        per-component snapshots), the final BFS progress line (:205,
+        counter == number of unique reads) and one contract/dead-end CLOCK
+        block pair per fixpoint iteration (:211-215, including the
+        terminating all-zero iteration)."""
+        for counter, nodes, edges in heartbeats:
+            self.log("counter: %10d Nodes: %10d Edges: %10d"
+                     % (counter, nodes, edges // 2))
         self.log("counter: %10d Nodes: %10d Edges: %10d"
                  % (self.ds.number_of_unique_reads, bfs_nodes,
                     bfs_edges // 2))
@@ -152,7 +159,7 @@ class BuildMixin:
                 self._log_contained(mixed)
                 ds.read_mate_pairs_from_file()
                 fixpoint_log = (res["bfs_nodes"], res["bfs_edges"],
-                                res["iter_log"])
+                                res["iter_log"], res["bfs_heartbeats"])
                 self._load_native_result(res)
                 self._emit_native_fixpoint_log(*fixpoint_log)
                 return
@@ -234,7 +241,7 @@ class BuildMixin:
                 self.cfg.dead_end_length)
             if res is not None:
                 fixpoint_log = (res["bfs_nodes"], res["bfs_edges"],
-                                res["iter_log"])
+                                res["iter_log"], res["bfs_heartbeats"])
                 self._load_native_result(res)
                 self._emit_native_fixpoint_log(*fixpoint_log)
                 return
@@ -294,6 +301,10 @@ class BuildMixin:
                                 explored[read2] = EXPLORED_MARKED
                             idx1 += 1
                         self.remove_transitive_edges(read1)
+                if counter % 100000 == 0:
+                    self.log("counter: %10d Nodes: %10d Edges: %10d"
+                             % (counter, self.number_of_nodes,
+                                self.number_of_edges // 2))
         self.log("counter: %10d Nodes: %10d Edges: %10d"
                  % (counter, self.number_of_nodes, self.number_of_edges // 2))
 

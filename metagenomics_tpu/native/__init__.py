@@ -67,7 +67,8 @@ def get_lib():
         lib.mg_supers.argtypes = [ctypes.c_void_p, _I64P]
         for name in ("mg_num_edges", "mg_num_nodes", "mg_graph_num_edges",
                      "mg_manifest_len", "mg_serial_counter", "mg_loc_total",
-                     "mg_bfs_nodes", "mg_bfs_edges", "mg_iter_log_len"):
+                     "mg_bfs_nodes", "mg_bfs_edges", "mg_iter_log_len",
+                     "mg_bfs_heartbeats_len"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_void_p]
@@ -80,6 +81,9 @@ def get_lib():
                                      _I64P]
         lib.mg_iter_log.restype = None
         lib.mg_iter_log.argtypes = [ctypes.c_void_p, _I64P, _I64P, _I64P]
+        lib.mg_bfs_heartbeats.restype = None
+        lib.mg_bfs_heartbeats.argtypes = [ctypes.c_void_p, _I64P, _I64P,
+                                          _I64P]
         lib.mg_hashstats.restype = None
         lib.mg_hashstats.argtypes = [
             ctypes.c_int64, _I64P, _U8P, _U8P, ctypes.c_int64,
@@ -208,6 +212,11 @@ def _extract_result(lib, h, n_reads, want_supers):
         loc_dist = np.empty(lt, dtype=np.int64)
         lib.mg_locations(h, _p64(counts_f), _p64(counts_r),
                          _p64(loc_edge_pos), _p64(loc_dist))
+        nhb = lib.mg_bfs_heartbeats_len(h)
+        hb_c = np.zeros(max(nhb, 1), dtype=np.int64)
+        hb_n = np.zeros(max(nhb, 1), dtype=np.int64)
+        hb_e = np.zeros(max(nhb, 1), dtype=np.int64)
+        lib.mg_bfs_heartbeats(h, _p64(hb_c), _p64(hb_n), _p64(hb_e))
         nit = lib.mg_iter_log_len(h)
         it_merged = np.zeros(max(nit, 1), dtype=np.int64)
         it_dead_nodes = np.zeros(max(nit, 1), dtype=np.int64)
@@ -225,6 +234,8 @@ def _extract_result(lib, h, n_reads, want_supers):
             iter_log=list(zip(it_merged[:nit].tolist(),
                               it_dead_nodes[:nit].tolist(),
                               it_dead_edges[:nit].tolist())),
+            bfs_heartbeats=list(zip(hb_c[:nhb].tolist(), hb_n[:nhb].tolist(),
+                                    hb_e[:nhb].tolist())),
             serial_counter=lib.mg_serial_counter(h))
         if want_supers:
             supers = np.zeros(n_reads + 1, dtype=np.int64)

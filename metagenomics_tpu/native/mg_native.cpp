@@ -17,12 +17,14 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <array>
 #include <chrono>
 #include <deque>
 #include <functional>
 #include <memory>
 #include <queue>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 static double now_s() {
@@ -108,6 +110,14 @@ struct Graph {
     int64_t bfs_edges = 0;
     int64_t last_dead_edges = 0;
     std::vector<int64_t> it_merged, it_dead_nodes, it_dead_edges;
+    // BFS progress heartbeats (reference: counter%100000 prints,
+    // OverlapGraph.cpp:200-201).  Threads record per-component deltas and
+    // local snapshots at precomputed global-boundary offsets; the merge
+    // step composes them into global (counter, nodes, edges) triples in
+    // bfs_heartbeats (assembled on the primary graph only).
+    std::vector<std::array<int64_t, 3>> comp_deltas;   // root, dn, de
+    std::vector<std::array<int64_t, 3>> local_snaps;   // counter, ln, le
+    std::vector<std::array<int64_t, 3>> bfs_heartbeats;
     std::deque<Edge> pool;   // arena: stable addresses, freed with the graph
     std::vector<Edge *> free_list;  // removed edges, reused by new_edge
 
@@ -573,10 +583,15 @@ namespace {
 // (ascending read ids).  The subset must be closed under connectivity of the
 // candidate graph, so per-subset processing equals the reference's global
 // processing restricted to those components.
+// root (= component min node id) -> [(local dequeue offset, global counter)]
+typedef std::unordered_map<int64_t, std::vector<std::array<int64_t, 2>>>
+    BfsTargets;
+
 void run_construction(Graph *g, const int64_t *nodes, size_t nn,
                       const int64_t *cand_start, const int32_t *cand_dest,
                       const int8_t *cand_orient, const int32_t *cand_offset,
-                      int8_t *explored, int8_t *mark) {
+                      int8_t *explored, int8_t *mark,
+                      const BfsTargets *bfs_targets = nullptr) {
     double t0 = now_s();
     std::vector<int64_t> queue;
     auto insert_all = [&](int64_t rn) {
@@ -601,8 +616,18 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
         queue.clear();
         queue.push_back(i);
         size_t start = 0;
+        // heartbeat bookkeeping: queue runs start at their component's
+        // minimum node id, so `i` keys the precomputed boundary targets
+        const std::vector<std::array<int64_t, 2>> *tg = nullptr;
+        size_t tg_i = 0;
+        int64_t run_n0 = g->n_nodes, run_e0 = g->n_edges, local_cnt = 0;
+        if (bfs_targets) {
+            auto it = bfs_targets->find(i);
+            if (it != bfs_targets->end()) tg = &it->second;
+        }
         while (start < queue.size()) {
             int64_t read1 = queue[start++];
+            local_cnt++;
             if (explored[read1] == 0) {
                 insert_all(read1);
                 explored[read1] = 1;
@@ -640,7 +665,18 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
                     g->remove_transitive(read1);
                 }
             }
+            if (tg && tg_i < tg->size() && local_cnt == (*tg)[tg_i][0]) {
+                // snapshot AFTER processing this dequeue, like the
+                // reference's end-of-loop counter check
+                g->local_snaps.push_back({(*tg)[tg_i][1],
+                                          g->n_nodes - run_n0,
+                                          g->n_edges - run_e0});
+                tg_i++;
+            }
         }
+        if (bfs_targets && (g->n_nodes != run_n0 || g->n_edges != run_e0))
+            g->comp_deltas.push_back({i, g->n_nodes - run_n0,
+                                      g->n_edges - run_e0});
     }
 
     PROF("  bfs", t0); t0 = now_s();
@@ -657,6 +693,83 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
     PROF("  contract", t0); t0 = now_s();
     g->finalize_locations(nodes, nn);
     PROF("  finloc", t0);
+}
+
+// Precompute the BFS heartbeat boundaries (counter multiples of 100000,
+// OverlapGraph.cpp:200-201) against the component structure, and compose
+// the recorded per-component deltas/snapshots into global triples.  The
+// global dequeue sequence is the components in ascending min-node order,
+// each contributing exactly its node count.
+struct BfsPlan {
+    BfsTargets targets;
+    std::vector<int64_t> roots_in_order;
+    std::vector<std::array<int64_t, 3>> boundaries;  // counter, root, local
+};
+
+static void build_bfs_plan(int64_t n_reads,
+                           const std::function<int32_t(int32_t)> &find,
+                           BfsPlan &plan) {
+    if (n_reads < 100000) return;
+    std::vector<int64_t> comp_size(n_reads + 1, 0);
+    for (int64_t i = 1; i <= n_reads; i++) comp_size[find((int32_t)i)]++;
+    std::vector<int8_t> seen(n_reads + 1, 0);
+    std::vector<int64_t> sizes;
+    for (int64_t i = 1; i <= n_reads; i++) {
+        int32_t c = find((int32_t)i);
+        if (!seen[c]) {
+            seen[c] = 1;
+            plan.roots_in_order.push_back(i);
+            sizes.push_back(comp_size[c]);
+        }
+    }
+    size_t ci = 0;
+    int64_t pref = 0;
+    for (int64_t b = 100000; b <= n_reads; b += 100000) {
+        while (pref + sizes[ci] < b) {
+            pref += sizes[ci];
+            ci++;
+        }
+        plan.boundaries.push_back({b, plan.roots_in_order[ci], b - pref});
+        if (sizes[ci] > 1)
+            plan.targets[plan.roots_in_order[ci]].push_back({b - pref, b});
+    }
+}
+
+static void compose_bfs_heartbeats(const BfsPlan &plan,
+                                   const std::vector<Graph *> &graphs,
+                                   Graph *g0) {
+    if (plan.boundaries.empty()) return;
+    std::unordered_map<int64_t, std::array<int64_t, 2>> delta_by_root;
+    std::unordered_map<int64_t, std::array<int64_t, 2>> snap_by_counter;
+    for (Graph *g : graphs) {
+        if (!g) continue;
+        for (auto &d : g->comp_deltas)
+            delta_by_root[d[0]] = {{d[1], d[2]}};
+        for (auto &s : g->local_snaps)
+            snap_by_counter[s[0]] = {{s[1], s[2]}};
+    }
+    int64_t pn = 0, pe = 0;
+    size_t bi = 0;
+    for (int64_t root : plan.roots_in_order) {
+        while (bi < plan.boundaries.size()
+               && plan.boundaries[bi][1] == root) {
+            int64_t counter = plan.boundaries[bi][0];
+            int64_t ln = 0, le = 0;
+            auto it = snap_by_counter.find(counter);
+            if (it != snap_by_counter.end()) {
+                ln = it->second[0];
+                le = it->second[1];
+            }
+            g0->bfs_heartbeats.push_back({counter, pn + ln, pe + le});
+            bi++;
+        }
+        if (bi >= plan.boundaries.size()) break;
+        auto dt = delta_by_root.find(root);
+        if (dt != delta_by_root.end()) {
+            pn += dt->second[0];
+            pe += dt->second[1];
+        }
+    }
 }
 
 Result *finish_result(Graph *g) {
@@ -680,9 +793,27 @@ Result *build_core(int64_t n_reads, const int64_t *lengths,
     std::vector<int8_t> mark(n_reads + 1, 0);
     std::vector<int64_t> all_nodes(n_reads);
     for (int64_t i = 0; i < n_reads; i++) all_nodes[i] = i + 1;
+    BfsPlan plan;
+    if (n_reads >= 100000) {
+        std::vector<int32_t> uf(n_reads + 1);
+        for (int64_t i = 0; i <= n_reads; i++) uf[i] = (int32_t)i;
+        std::function<int32_t(int32_t)> find = [&](int32_t x) {
+            while (uf[x] != x) { uf[x] = uf[uf[x]]; x = uf[x]; }
+            return x;
+        };
+        for (int64_t r1 = 1; r1 <= n_reads; r1++)
+            for (int64_t k = cand_start[r1]; k < cand_start[r1 + 1]; k++) {
+                int32_t a = find((int32_t)r1),
+                        b = find((int32_t)cand_dest[k]);
+                if (a != b) uf[b] = a;
+            }
+        build_bfs_plan(n_reads, find, plan);
+    }
     run_construction(g, all_nodes.data(), all_nodes.size(), cand_start,
                      cand_dest, cand_orient, cand_offset, explored.data(),
-                     mark.data());
+                     mark.data(), plan.boundaries.empty() ? nullptr
+                                                         : &plan.targets);
+    compose_bfs_heartbeats(plan, {g}, g);
     return finish_result(g);
 }
 
@@ -709,6 +840,8 @@ Result *construct_threaded(int64_t n_reads, const int64_t *lengths,
             int32_t a = find((int32_t)r1), b = find((int32_t)cdest[k]);
             if (a != b) uf[b] = a;
         }
+    BfsPlan plan;
+    build_bfs_plan(n_reads, find, plan);
     // bucket components across threads, balancing candidate counts
     std::vector<int64_t> comp_load(n_reads + 1, 0);
     for (int64_t r1 = 1; r1 <= n_reads; r1++)
@@ -750,7 +883,9 @@ Result *construct_threaded(int64_t n_reads, const int64_t *lengths,
             run_construction(graphs[t], bucket_nodes[t].data(),
                              bucket_nodes[t].size(), cstart.data(),
                              cdest.data(), corient.data(), coffset.data(),
-                             explored.data(), mark.data());
+                             explored.data(), mark.data(),
+                             plan.boundaries.empty() ? nullptr
+                                                     : &plan.targets);
         };
         if (nt == 1) work(0);
         else {
@@ -780,6 +915,7 @@ Result *construct_threaded(int64_t n_reads, const int64_t *lengths,
         }
         if (gt->serial > g0->serial) g0->serial = gt->serial;
     }
+    compose_bfs_heartbeats(plan, graphs, g0);
     PROF("build", t0); t0 = now_s();
     Result *res = finish_result(g0);
     for (int t = 1; t < nt; t++) res->extra.push_back(graphs[t]);
@@ -1030,6 +1166,18 @@ int64_t mg_manifest_len(void *h) { return ((Result *)h)->total_manifest; }
 int64_t mg_serial_counter(void *h) { return ((Result *)h)->g->serial; }
 int64_t mg_bfs_nodes(void *h) { return ((Result *)h)->g->bfs_nodes; }
 int64_t mg_bfs_edges(void *h) { return ((Result *)h)->g->bfs_edges; }
+int64_t mg_bfs_heartbeats_len(void *h) {
+    return (int64_t)((Result *)h)->g->bfs_heartbeats.size();
+}
+void mg_bfs_heartbeats(void *h, int64_t *counter, int64_t *nodes,
+                       int64_t *edges) {
+    Graph *g = ((Result *)h)->g;
+    for (size_t k = 0; k < g->bfs_heartbeats.size(); k++) {
+        counter[k] = g->bfs_heartbeats[k][0];
+        nodes[k] = g->bfs_heartbeats[k][1];
+        edges[k] = g->bfs_heartbeats[k][2];
+    }
+}
 int64_t mg_iter_log_len(void *h) {
     return (int64_t)((Result *)h)->g->it_merged.size();
 }
