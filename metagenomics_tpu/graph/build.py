@@ -44,14 +44,24 @@ class BuildMixin:
         sup = ds.super_read_id
         lens = ds.lengths
         counter = 0
+        next_b = 1000000
+        n_u = ds.number_of_unique_reads
         for k in np.flatnonzero(hits):
             r1 = int(batch.r1[k])
             r2 = int(batch.r2[k])
+            while next_b <= n_u and r1 > next_b:
+                self.log("%10d contained reads in %10d super reads."
+                         % (counter, next_b))
+                next_b += 1000000
             if sup[r2] == 0:
                 sup[r2] = r1
                 counter += 1
             elif lens[r1] > lens[sup[r2]]:
                 sup[r2] = r1
+        while next_b <= n_u:
+            self.log("%10d contained reads in %10d super reads."
+                     % (counter, next_b))
+            next_b += 1000000
         contained = int((sup[1:] != 0).sum())
         self.log("")
         self.log("%10d Non-contained reads. (Keep as is)"
@@ -73,13 +83,25 @@ class BuildMixin:
             return
         sup = ds.super_read_id
         lens = ds.lengths
+        counter = 0
+        next_b = 1000000
+        n_u = ds.number_of_unique_reads
         for k in np.flatnonzero(cont_ok):
             r1 = int(batch.r1[k])
             r2 = int(batch.r2[k])
+            while next_b <= n_u and r1 > next_b:
+                self.log("%10d contained reads in %10d super reads."
+                         % (counter, next_b))
+                next_b += 1000000
             if sup[r2] == 0:
                 sup[r2] = r1
+                counter += 1
             elif lens[r1] > lens[sup[r2]]:
                 sup[r2] = r1
+        while next_b <= n_u:
+            self.log("%10d contained reads in %10d super reads."
+                     % (counter, next_b))
+            next_b += 1000000
         contained = int((sup[1:] != 0).sum())
         self.log("")
         self.log("%10d Non-contained reads. (Keep as is)"
@@ -102,7 +124,7 @@ class BuildMixin:
         if res is None:
             return False
         ds.super_read_id[:] = res["supers"]
-        self._log_contained(mixed)
+        self._log_contained(mixed, res["cont_heartbeats"])
         ds.read_mate_pairs_from_file()
         fixpoint_log = (res["bfs_nodes"], res["bfs_edges"], res["iter_log"],
                         res["bfs_heartbeats"])
@@ -156,7 +178,7 @@ class BuildMixin:
                 ds.lengths, counts, r2, meta, mixed, self.cfg.dead_end_length)
             if res is not None:
                 ds.super_read_id[:] = res["supers"]
-                self._log_contained(mixed)
+                self._log_contained(mixed, res["cont_heartbeats"])
                 ds.read_mate_pairs_from_file()
                 fixpoint_log = (res["bfs_nodes"], res["bfs_edges"],
                                 res["iter_log"], res["bfs_heartbeats"])
@@ -180,12 +202,16 @@ class BuildMixin:
         self._build_from_filtered(batch.r1[keep], batch.r2[keep],
                                   eo[keep], eoff[keep])
 
-    def _log_contained(self, mixed):
+    def _log_contained(self, mixed, heartbeats=()):
         ds = self.ds
         with self._clock("markContainedReads"):
             if not mixed:
                 self.log("All reads are of same length. No contained reads.")
                 return
+            # per-1e6-probing-read progress (OverlapGraph.cpp:273-274)
+            for boundary, counter in heartbeats:
+                self.log("%10d contained reads in %10d super reads."
+                         % (counter, boundary))
             contained = int((ds.super_read_id[1:] != 0).sum())
             self.log("")
             self.log("%10d Non-contained reads. (Keep as is)"

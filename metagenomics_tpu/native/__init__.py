@@ -68,7 +68,7 @@ def get_lib():
         for name in ("mg_num_edges", "mg_num_nodes", "mg_graph_num_edges",
                      "mg_manifest_len", "mg_serial_counter", "mg_loc_total",
                      "mg_bfs_nodes", "mg_bfs_edges", "mg_iter_log_len",
-                     "mg_bfs_heartbeats_len"):
+                     "mg_bfs_heartbeats_len", "mg_cont_heartbeats_len"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_void_p]
@@ -84,6 +84,8 @@ def get_lib():
         lib.mg_bfs_heartbeats.restype = None
         lib.mg_bfs_heartbeats.argtypes = [ctypes.c_void_p, _I64P, _I64P,
                                           _I64P]
+        lib.mg_cont_heartbeats.restype = None
+        lib.mg_cont_heartbeats.argtypes = [ctypes.c_void_p, _I64P, _I64P]
         lib.mg_hashstats.restype = None
         lib.mg_hashstats.argtypes = [
             ctypes.c_int64, _I64P, _U8P, _U8P, ctypes.c_int64,
@@ -212,6 +214,10 @@ def _extract_result(lib, h, n_reads, want_supers):
         loc_dist = np.empty(lt, dtype=np.int64)
         lib.mg_locations(h, _p64(counts_f), _p64(counts_r),
                          _p64(loc_edge_pos), _p64(loc_dist))
+        nch = lib.mg_cont_heartbeats_len(h)
+        ch_b = np.zeros(max(nch, 1), dtype=np.int64)
+        ch_c = np.zeros(max(nch, 1), dtype=np.int64)
+        lib.mg_cont_heartbeats(h, _p64(ch_b), _p64(ch_c))
         nhb = lib.mg_bfs_heartbeats_len(h)
         hb_c = np.zeros(max(nhb, 1), dtype=np.int64)
         hb_n = np.zeros(max(nhb, 1), dtype=np.int64)
@@ -236,6 +242,8 @@ def _extract_result(lib, h, n_reads, want_supers):
                               it_dead_edges[:nit].tolist())),
             bfs_heartbeats=list(zip(hb_c[:nhb].tolist(), hb_n[:nhb].tolist(),
                                     hb_e[:nhb].tolist())),
+            cont_heartbeats=list(zip(ch_b[:nch].tolist(),
+                                     ch_c[:nch].tolist())),
             serial_counter=lib.mg_serial_counter(h))
         if want_supers:
             supers = np.zeros(n_reads + 1, dtype=np.int64)

@@ -118,6 +118,7 @@ struct Graph {
     std::vector<std::array<int64_t, 3>> comp_deltas;   // root, dn, de
     std::vector<std::array<int64_t, 3>> local_snaps;   // counter, ln, le
     std::vector<std::array<int64_t, 3>> bfs_heartbeats;
+    std::vector<std::array<int64_t, 2>> cont_heartbeats;  // boundary, count
     std::deque<Edge> pool;   // arena: stable addresses, freed with the graph
     std::vector<Edge *> free_list;  // removed edges, reused by new_edge
 
@@ -1043,14 +1044,32 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
 
     PROF("scan", t0); t0 = now_s();
     // --- contained-read replay (OverlapGraph.cpp:225-290) -----------------
+    // heartbeat reconstruction: the reference prints the running
+    // first-assignment counter every 1e6 probing reads (:273-274); hits
+    // arrive in (r1 asc) order across the contiguous thread ranges, so
+    // checkpoints are exact.  Stored as (boundary read, counter) pairs in
+    // cont_heartbeats on the result graph.
     std::vector<int64_t> supers(n_reads + 1, 0);
+    std::vector<std::array<int64_t, 2>> cont_hb;
     if (mixed) {
+        int64_t counter = 0;
+        int64_t next_b = 1000000;
         for (const auto &sc : scratch) {
             for (const ContHit &hit : sc.cont) {
-                if (supers[hit.r2] == 0) supers[hit.r2] = hit.r1;
-                else if (lengths[hit.r1] > lengths[supers[hit.r2]])
+                while (next_b <= n_reads && hit.r1 > next_b) {
+                    cont_hb.push_back({next_b, counter});
+                    next_b += 1000000;
+                }
+                if (supers[hit.r2] == 0) {
+                    supers[hit.r2] = hit.r1;
+                    counter++;
+                } else if (lengths[hit.r1] > lengths[supers[hit.r2]])
                     supers[hit.r2] = hit.r1;
             }
+        }
+        while (next_b <= n_reads) {
+            cont_hb.push_back({next_b, counter});
+            next_b += 1000000;
         }
     }
 
@@ -1090,6 +1109,7 @@ void *mg_assemble(int64_t n_reads, const int64_t *lengths,
     Result *res = construct_threaded(n_reads, lengths, dead_end_length, nt,
                                      cstart, cdest, corient, coffset);
     res->supers = std::move(supers);
+    res->g->cont_heartbeats = std::move(cont_hb);
     return res;
 }
 
@@ -1107,17 +1127,23 @@ void *mg_build_stream(int64_t n_reads, const int64_t *lengths,
     int nt = (int)n_threads;
     if (nt < 1) nt = 1;
     std::vector<int64_t> supers(n_reads + 1, 0);
+    std::vector<std::array<int64_t, 2>> cont_hb;
     if (mixed) {
         int64_t ofs = 0;
+        int64_t counter = 0;
         for (int64_t r1 = 1; r1 <= n_reads; r1++) {
             for (int64_t k = ofs; k < ofs + counts[r1]; k++) {
                 if (!(metas[k] & 8)) continue;       // cont_ok bit
                 int32_t r2 = r2s[k];
                 // device kernel already enforced len[r1] > len[r2]
-                if (supers[r2] == 0) supers[r2] = r1;
-                else if (lengths[r1] > lengths[supers[r2]]) supers[r2] = r1;
+                if (supers[r2] == 0) {
+                    supers[r2] = r1;
+                    counter++;
+                } else if (lengths[r1] > lengths[supers[r2]])
+                    supers[r2] = r1;
             }
             ofs += counts[r1];
+            if (r1 % 1000000 == 0) cont_hb.push_back({r1, counter});
         }
         (void)n_items;
     }
@@ -1150,6 +1176,7 @@ void *mg_build_stream(int64_t n_reads, const int64_t *lengths,
     Result *res = construct_threaded(n_reads, lengths, dead_end_length, nt,
                                      cstart, cdest, corient, coffset);
     res->supers = std::move(supers);
+    res->g->cont_heartbeats = std::move(cont_hb);
     return res;
 }
 
@@ -1166,6 +1193,16 @@ int64_t mg_manifest_len(void *h) { return ((Result *)h)->total_manifest; }
 int64_t mg_serial_counter(void *h) { return ((Result *)h)->g->serial; }
 int64_t mg_bfs_nodes(void *h) { return ((Result *)h)->g->bfs_nodes; }
 int64_t mg_bfs_edges(void *h) { return ((Result *)h)->g->bfs_edges; }
+int64_t mg_cont_heartbeats_len(void *h) {
+    return (int64_t)((Result *)h)->g->cont_heartbeats.size();
+}
+void mg_cont_heartbeats(void *h, int64_t *boundary, int64_t *count) {
+    Graph *g = ((Result *)h)->g;
+    for (size_t k = 0; k < g->cont_heartbeats.size(); k++) {
+        boundary[k] = g->cont_heartbeats[k][0];
+        count[k] = g->cont_heartbeats[k][1];
+    }
+}
 int64_t mg_bfs_heartbeats_len(void *h) {
     return (int64_t)((Result *)h)->g->bfs_heartbeats.size();
 }
