@@ -114,6 +114,14 @@ class GraphCore:
         self.estimated_genome_size = 0
         self.mp_marked_edges = set()   # filled by MatePairGraph refinement
         self._serial = 0
+        # dirty-node tracking for the simplify fixpoint: activated lazily at
+        # the first pass scan; _touch records every node whose incident
+        # structure/flow changed, and each pass rescans only those (plus one
+        # initial full sweep).  Pass outcomes are functions of the node's
+        # incident edges, so skipping untouched nodes cannot change results
+        # — the golden suites pin this byte-for-byte.
+        self._events = None
+        self._pass_cursor = {}
 
     def _next_serial(self):
         self._serial += 1
@@ -125,6 +133,26 @@ class GraphCore:
         from ..utils.timing import phase_clock
         return phase_clock(name, log=self.log, src=__file__)
 
+    def _touch(self, node):
+        ev = self._events
+        if ev is not None:
+            ev.append(node)
+
+    def _dirty_nodes(self, key):
+        """Ascending node ids pass `key` must scan this sweep: all nonempty
+        nodes on its first sweep, afterwards only nodes touched since its
+        previous sweep.  The cursor advances BEFORE scanning, so mutations
+        made during the sweep are revisited next sweep (exactly when the
+        reference's full rescan would find them)."""
+        if self._events is None:
+            self._events = []
+        cur = self._pass_cursor.get(key)
+        self._pass_cursor[key] = len(self._events)
+        adj = self.adj
+        if cur is None:
+            return [i for i in range(1, len(adj)) if adj[i]]
+        return [i for i in sorted(set(self._events[cur:])) if adj[i]]
+
     # ------------------------------------------------------------ primitives
 
     def insert_edge_obj(self, edge):
@@ -134,6 +162,7 @@ class GraphCore:
             self.number_of_nodes += 1
         lst.append(edge)
         self.number_of_edges += 1
+        self._touch(edge.source)
         self.update_read_locations(edge)
 
     def insert_edge(self, read1, read2, orient, offset):
@@ -152,6 +181,8 @@ class GraphCore:
         (OverlapGraph.cpp:863-896)."""
         self.remove_read_locations(edge)
         self.remove_read_locations(edge.reverse)
+        self._touch(edge.source)
+        self._touch(edge.destination)
         twin = edge.reverse
         for lst, target in ((self.adj[edge.destination], twin),
                             (self.adj[edge.source], edge)):
@@ -233,6 +264,12 @@ class GraphCore:
 
     def merge_edges(self, e1, e2):
         """Merge e1(u,v)+e2(v,w) into a composite (OverlapGraph.cpp:702-753)."""
+        # surviving originals keep reduced flows; their endpoints must be
+        # rescanned by the dirty-tracked passes
+        self._touch(e1.source)
+        self._touch(e1.destination)
+        self._touch(e2.source)
+        self._touch(e2.destination)
         read1, read2 = e1.source, e2.destination
         of = merged_edge_orientation(e1, e2)
         ob = twin_edge_orientation(of)

@@ -115,3 +115,8 @@ class FlowMixin:
                 my_dest = node_map_rev[head // 2]
                 self.find_edge(my_source, my_dest).flow += fl
         self.flow_computed = True
+        # flows changed on every edge and flow_computed flips contract's
+        # multi-edge guard: invalidate the dirty-pass cursors so every
+        # pass's next sweep is a full scan
+        self._pass_cursor.clear()
+        self._events = []

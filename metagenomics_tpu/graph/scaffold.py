@@ -139,6 +139,10 @@ class ScaffoldMixin:
         return reads, offsets, orients
 
     def merge_edges_disconnected(self, e1, e2, gap_length):
+        self._touch(e1.source)
+        self._touch(e1.destination)
+        self._touch(e2.source)
+        self._touch(e2.destination)
         ds = self.ds
         if (e1.destination == e2.source and match_edge_type(e1, e2)):
             self.merge_edges(e1, e2)

@@ -41,7 +41,7 @@ class SimplifyMixin:
     def contract_composite_paths(self):
         """Merge the two edges at degree-2 nodes (OverlapGraph.cpp:669-694)."""
         counter = 0
-        for index in range(1, len(self.adj)):
+        for index in self._dirty_nodes("contract"):
             lst = self.adj[index]
             if len(lst) == 2:
                 e1, e2 = lst[0], lst[1]
@@ -60,7 +60,7 @@ class SimplifyMixin:
         (OverlapGraph.cpp:931-988)."""
         nodes = []
         edges_removed = 0
-        for i in range(1, len(self.adj)):
+        for i in self._dirty_nodes("deadend"):
             lst = self.adj[i]
             if not lst:
                 continue
@@ -92,7 +92,7 @@ class SimplifyMixin:
     def remove_all_simple_edges_without_flow(self):
         """Drop flowless simple edges (OverlapGraph.cpp:903-925)."""
         to_remove = []
-        for i in range(1, len(self.adj)):
+        for i in self._dirty_nodes("no_flow"):
             for e in self.adj[i]:
                 if (e.source < e.destination and not e.list_reads
                         and e.flow == 0):
@@ -106,7 +106,7 @@ class SimplifyMixin:
         """Collapse parallel edges with ~identical strings
         (OverlapGraph.cpp:2545-2605)."""
         keep, drop, dists = [], [], []
-        for i in range(1, len(self.adj)):
+        for i in self._dirty_nodes("similar"):
             lst = self.adj[i]
             for jj in range(len(lst)):
                 e1 = lst[jj]
@@ -153,7 +153,7 @@ class SimplifyMixin:
         condition after scanning each edge and merges mid-scan over the
         mutating adjacency list; replicated verbatim."""
         node_merged = 0
-        for i in range(len(self.adj)):
+        for i in self._dirty_nodes("trees"):
             n_in = n_out = in_flow = out_flow = 0
             list_in, list_out = [], []
             lst = self.adj[i]
@@ -187,7 +187,7 @@ class SimplifyMixin:
         """Splice single-entry single-exit self loops
         (OverlapGraph.cpp:2814-2866)."""
         counter = 0
-        for i in range(1, len(self.adj)):
+        for i in self._dirty_nodes("loops"):
             lst = self.adj[i]
             if len(lst) == 4:
                 loop_count = incoming = outgoing = 0
