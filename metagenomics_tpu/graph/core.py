@@ -74,7 +74,7 @@ class Edge:
     __slots__ = ("source", "destination", "orient", "offset",
                  "list_reads", "list_offsets", "list_orients",
                  "reverse", "flow", "coverage_depth", "sd",
-                 "transitive_flag", "serial")
+                 "transitive_flag", "serial", "cached_str")
 
     def __init__(self, graph, source, destination, orient, offset,
                  list_reads=None, list_offsets=None, list_orients=None,
@@ -92,6 +92,7 @@ class Edge:
         self.sd = 0
         self.transitive_flag = False
         self.serial = graph._next_serial() if serial is None else serial
+        self.cached_str = None
 
     def __repr__(self):  # debug aid only
         return "Edge(%d,%d,o%d,off%d,%dr,f%d)" % (
@@ -310,11 +311,17 @@ class GraphCore:
 
     def get_string_in_edge(self, edge) -> bytes:
         """Reconstruct the sequence spelled by an edge
-        (OverlapGraph.cpp:2009-2041); 'N' marks scaffold gaps.
+        (OverlapGraph.cpp:2009-2041); 'N' marks scaffold gaps.  The string
+        is a function of immutable edge state (endpoints, orientation,
+        manifest) — merges create NEW Edge objects — so it is memoized on
+        the edge across the four printGraph stages and removeSimilarEdges.
 
         The read manifest is decoded in blocked batches (one LUT gather per
         block instead of one per read) — identical splice semantics to the
         reference's per-read substr walk."""
+        cached = edge.cached_str
+        if cached is not None:
+            return cached
         ds = self.ds
         reads = edge.list_reads
         if not reads:
@@ -325,8 +332,10 @@ class GraphCore:
                      if edge.orient in (1, 3)
                      else ds.get_string_reverse(edge.destination))
             sub_len = len(read2) + edge.offset - len(read1)
-            return read1 + (read2[len(read2) - sub_len:] if sub_len > 0
-                            else b"")
+            s = read1 + (read2[len(read2) - sub_len:] if sub_len > 0
+                         else b"")
+            edge.cached_str = s
+            return s
         import numpy as np
         from ..ops import packing
         n = len(reads) + 2
@@ -389,7 +398,9 @@ class GraphCore:
                     ([dst0[nz][0]], np.diff(dst0[nz]) - pl[nz][:-1] + 1))
                 dst_idx = np.cumsum(dstep)
                 out[dst_idx] = amat[src_idx]
-        return out.tobytes()
+        s = out.tobytes()
+        edge.cached_str = s
+        return s
 
     # ---------------------------------------------------------- artifacts
 
