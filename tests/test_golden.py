@@ -95,3 +95,7 @@ def test_resume_from_unitig(tmp_path):
         want = open(os.path.join(GOLDEN, "out", "pe_small", "g_" + art),
                     "rb").read()
         assert got == want, "resume artifact mismatch: %s" % art
+    from logutil import assert_log_equal
+    assert_log_equal(proc.stdout,
+                     os.path.join(GOLDEN, "out", "pe_small",
+                                  "log_resume.txt"), "pe_small/-s")
