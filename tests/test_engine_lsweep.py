@@ -43,6 +43,12 @@ def _build(engine, pe, se, min_overlap):
     elif engine == "device":
         from metagenomics_tpu.ops.device_overlap import DeviceOverlapPipeline
         graph.build_from_pipeline(DeviceOverlapPipeline(ds, min_overlap))
+    elif engine == "sharded":
+        from metagenomics_tpu.parallel.mesh import make_mesh
+        from metagenomics_tpu.parallel.sharded import ShardedOverlapPipeline
+        graph.build_from_pipeline(
+            ShardedOverlapPipeline(ds, min_overlap, mesh=make_mesh(dp=4,
+                                                                   ix=2)))
     else:
         raise AssertionError(engine)
     graph.sort_edges()
@@ -90,12 +96,11 @@ def sweep_reads():
 @pytest.mark.parametrize("min_overlap", [40, 64, 65, 66, 100])
 def test_engines_agree_across_l(tmp_path, sweep_reads, min_overlap):
     path = _sweep_file(tmp_path, "sweep.fasta", sweep_reads)
-    results = {e: _build(e, [], [path], min_overlap)
-               for e in ("native", "host", "device")}
-    assert results["native"] == results["host"], \
-        "native != host at -l %d" % min_overlap
-    assert results["device"] == results["host"], \
-        "device != host at -l %d" % min_overlap
+    engines = ("native", "host", "device", "sharded")
+    results = {e: _build(e, [], [path], min_overlap) for e in engines}
+    for e in engines[1:]:
+        assert results[e] == results["native"], \
+            "%s != native at -l %d" % (e, min_overlap)
 
 
 def test_judge_repro_l66_native_containment(tmp_path):
