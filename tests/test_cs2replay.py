@@ -118,3 +118,45 @@ def test_replay_fuzz_against_ssp():
         triples, obj = solve_cs2(v, arcs)
         obj_ssp = sum(f * a[4] for f, a in zip(flows, arcs))
         assert obj == obj_ssp
+
+
+REF_BIN = os.path.join(REPO, "golden", "metagenomics_ref_O0")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN),
+                    reason="reference binary unavailable")
+def test_replay_matches_fresh_reference_runs(tmp_path):
+    """Harvest fresh (flow.input, flow.output) pairs from the reference
+    binary on small random repeat-bearing datasets and byte-compare the
+    replay solver's solution files (not just the cached goldens)."""
+    import subprocess
+
+    from metagenomics_tpu.cs2replay import solve_cs2
+
+    comp = str.maketrans("ACGT", "TGCA")
+    for trial in range(3):
+        rng = random.Random(5000 + trial)
+        g = "".join(rng.choice("ACGT") for _ in range(4000))
+        rep = g[1000:1260]
+        g = g[:2500] + rep + g[2500:3100] + rep + g[3100:]
+        reads = []
+        for pos in range(0, len(g) - 100, 9):
+            s = g[pos:pos + 100]
+            if rng.random() < 0.5:
+                s = s.translate(comp)[::-1]
+            reads.append(s)
+        d = tmp_path / ("t%d" % trial)
+        d.mkdir()
+        fa = d / "in.fasta"
+        fa.write_text("".join(">r%d\n%s\n" % (i, s)
+                              for i, s in enumerate(reads)))
+        proc = subprocess.run(
+            [REF_BIN, "-se", "1", str(fa), "-f", "g_", "-l", "40"],
+            cwd=d, capture_output=True, timeout=600)
+        fin = d / "g__flow.input"
+        fout = d / "g__flow.output"
+        assert fin.exists() and fout.exists(), proc.returncode
+        v, arcs = _parse_dimacs(str(fin))
+        triples, _ = solve_cs2(v, arcs)
+        got = "".join("%d %d %d\n" % t for t in triples)
+        assert got == fout.read_text(), "trial %d" % trial
