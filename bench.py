@@ -614,6 +614,25 @@ def main():
             "device_compute_vs_baseline"]
     if late:
         record["late_phases"] = late
+    scale_path = os.path.join(REPO, "SCALE_10M.json")
+    if os.path.exists(scale_path):
+        try:
+            with open(scale_path) as f:
+                scale = json.load(f)
+            if scale.get("n_reads", 0) >= 10_000_000:
+                record["scale_10m"] = {
+                    "n_reads": scale["n_reads"],
+                    "ours_wall_s": scale["ours_native_cpu"]["wall_s"],
+                    "ours_peak_rss_mb":
+                        scale["ours_native_cpu"]["peak_rss_mb"],
+                    "ref_wall_s": scale.get("reference_O0", {}).get("wall_s"),
+                    "ref_peak_rss_mb":
+                        scale.get("reference_O0", {}).get("peak_rss_mb"),
+                    "speedup": scale.get("speedup"),
+                    "artifacts_equal": scale.get("artifacts_equal"),
+                }
+        except Exception:
+            pass
     print(json.dumps(record))
 
 
