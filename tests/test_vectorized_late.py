@@ -298,3 +298,25 @@ def test_fast_fasta_matches_stream_parser(tmp_path):
     # record 2's header and "GGGTTTACCA" its sequence
     assert "GGGTTTACCA" in strs or "TGGTAAACCC" in strs
     assert not any(">" in s for s in strs)
+
+
+def test_lex_order_matches_full_lexsort():
+    """The two-stage sort must reproduce np.lexsort over all limbs exactly,
+    including stability for fully-duplicate rows."""
+    rng = np.random.default_rng(12)
+    n = 1 << 17
+    nlimb = 7
+    limbs = rng.integers(0, 1 << 63, (n, nlimb), dtype=np.int64) \
+        .astype(np.uint64)
+    # force heavy (limb0, limb1) collisions and exact duplicates
+    limbs[:, 0] = rng.integers(0, 8, n).astype(np.uint64)
+    limbs[: n // 4, 1] = rng.integers(0, 4, n // 4).astype(np.uint64)
+    limbs[n // 2:n // 2 + 5000] = limbs[:5000]          # duplicates
+    got = Dataset._lex_order(limbs)
+    want = np.lexsort(tuple(limbs[:, k] for k in range(nlimb - 1, -1, -1)))
+    np.testing.assert_array_equal(limbs[got], limbs[want])
+    # stability: identical rows keep ascending original index order
+    sorted_limbs = limbs[got]
+    eq = (sorted_limbs[1:] == sorted_limbs[:-1]).all(axis=1)
+    runs = np.flatnonzero(eq)
+    assert (got[runs] < got[runs + 1]).all()
