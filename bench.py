@@ -378,9 +378,9 @@ def measure_native():
         return time.time() - t0
 
     run_once()                      # warm-up
-    # best of 5: this machine's 2 vCPUs see bursty steal from neighboring
+    # best of 9: this machine's 2 vCPUs see bursty steal from neighboring
     # VMs; the minimum is the real engine speed
-    dt = min(run_once() for _ in range(5))
+    dt = min(run_once() for _ in range(9))
     return ds.number_of_unique_reads, dt
 
 
