@@ -163,14 +163,17 @@ def canonicalize_codes_np(codes: np.ndarray, lengths: np.ndarray):
 
 def qc_mask_np(codes: np.ndarray, lengths: np.ndarray,
                min_overlap: int) -> np.ndarray:
-    """Host twin of qc_mask (thresholds already float64-exact on host)."""
+    """Host twin of qc_mask (thresholds already float64-exact on host).
+
+    Padding is PAD_CODE and invalid characters are 255 — neither aliases a
+    base code 0..3 — so per-base counts need no position mask, and
+    "every in-length char is a base" is exactly sum(counts) == length
+    (saves five full-matrix temporaries per ingest chunk)."""
     thresholds = np.trunc(
         np.asarray(lengths, dtype=np.float64) * 0.8).astype(np.int64)
-    valid = np.arange(codes.shape[1])[None, :] < lengths[:, None]
-    ok_chars = np.where(valid, codes <= 3, True).all(axis=1)
-    counts = np.stack(
-        [np.where(valid, codes == c, False).sum(axis=1) for c in range(4)],
-        axis=1)
+    counts = np.stack([(codes == c).sum(axis=1, dtype=np.int64)
+                       for c in range(4)], axis=1)
+    ok_chars = counts.sum(axis=1) == lengths
     not_lowcomp = (counts < thresholds[:, None]).all(axis=1)
     return ok_chars & not_lowcomp & (lengths > min_overlap)
 
