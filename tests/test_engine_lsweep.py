@@ -129,3 +129,39 @@ def test_judge_repro_l66_native_containment(tmp_path):
         assert b"Contained in" not in sorted_reads, \
             "%s engine false-accepted the containment" % e
     assert out["native"] == out["host"] == out["device"]
+
+
+REF_BIN = os.path.join(REPO, "golden", "metagenomics_ref_O0")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN),
+                    reason="reference binary unavailable")
+def test_full_pipeline_l66_matches_reference(tmp_path):
+    """End-to-end byte + log parity against the reference at a non-default
+    minimum overlap (the l > 64 truncated-key regime)."""
+    import subprocess
+    import sys
+    data = os.path.join(REPO, "golden", "data", "se_mixlen.fasta")
+    refdir = tmp_path / "ref"
+    refdir.mkdir()
+    pr = subprocess.run([REF_BIN, "-se", "1", data, "-f", "g_", "-l", "66"],
+                       cwd=refdir, capture_output=True, text=True,
+                       timeout=600)
+    assert pr.returncode == 0
+    ourdir = tmp_path / "ours"
+    ourdir.mkdir()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    po = subprocess.run(
+        [sys.executable, "-m", "metagenomics_tpu.cli", "-se", "1", data,
+         "-f", "g_", "-l", "66"],
+        cwd=ourdir, env=env, capture_output=True, text=True, timeout=600)
+    assert po.returncode == 0, po.stdout[-2000:] + po.stderr[-2000:]
+    for f in ("_sortedReads.fasta", ".unitig", "_flow.input",
+              "_flow.output", "graph1.gdl", "contigs1.fasta",
+              "graph4.gdl", "contigs4.fasta"):
+        assert (ourdir / ("g_" + f)).read_bytes() == \
+            (refdir / ("g_" + f)).read_bytes(), f
+    from logutil import normalize_log
+    assert normalize_log(po.stdout) == normalize_log(pr.stdout)
