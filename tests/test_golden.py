@@ -24,6 +24,11 @@ CONFIGS = {
     # QC-rejected, repeat structure from IS elements + a 2%-divergent
     # segmental duplication (SURVEY M0 real-read debt, VERDICT r3 item 8)
     "pe_real": ["-pe", "1", os.path.join(GOLDEN, "data", "pe_real.fastq")],
+    # combined PE + SE run: dataset numbering continues across file kinds,
+    # mate store only touches the PE dataset, contained reads from the SE
+    # mixed-length set remap PE mate pairs
+    "mix_ps": ["-pe", "1", os.path.join(GOLDEN, "data", "pe_small.fasta"),
+               "-se", "1", os.path.join(GOLDEN, "data", "se_mixlen.fasta")],
 }
 
 ARTIFACTS = [
