@@ -521,6 +521,12 @@ class ShardedOverlapPipeline:
                 o = (d_my + t) % D
                 start = off[o]
                 bsz = off[o + 1] - start
+                # dynamic_slice CLAMPS the start to cap - m_blk when the
+                # window would run past the buffer, shifting the block's
+                # entries within the slice; mask by GLOBAL position so the
+                # block stays exact (the clamped window always still
+                # covers [start, start+bsz) because bsz <= m_blk)
+                start_eff = jnp.clip(start, 0, cap - m_blk)
 
                 def blk(a):
                     return jax.lax.dynamic_slice(
@@ -536,7 +542,8 @@ class ShardedOverlapPipeline:
                 edge_ok, cont_ok, eo, eoff = dov._verify_windows(
                     blk(rows1_all), rows2, blen1, tlen[lrow], bj, bori,
                     hash_len, w, qw_max, cc)
-                livem = jnp.arange(m_blk, dtype=jnp.int32) < bsz
+                pos = jnp.arange(m_blk, dtype=jnp.int32) + start_eff
+                livem = (pos >= start) & (pos < start + bsz)
                 bkeep = livem & (edge_ok | cont_ok)
                 fe = (eo | (edge_ok.astype(jnp.int32) << 2)
                       | (cont_ok.astype(jnp.int32) << 3))

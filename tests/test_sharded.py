@@ -54,6 +54,8 @@ def test_stream_matches_single_device(name, mixed, dp, ix):
     # fire under the sharded engine (VERDICT r3 item 7)
     ("pe_hard", ["-pe", "2", os.path.join(GOLDEN, "data", "pe_hard_a.fasta"),
                  os.path.join(GOLDEN, "data", "pe_hard_b.fasta")]),
+    # realistic error-model FASTQ through the sharded engine
+    ("pe_real", ["-pe", "1", os.path.join(GOLDEN, "data", "pe_real.fastq")]),
 ])
 def test_sharded_cli_byte_equality(name, args, tmp_path):
     env = dict(os.environ)
