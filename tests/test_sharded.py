@@ -137,3 +137,45 @@ def test_collective_ledger_accounts_stream():
                 a = c["axis_size"]
                 assert c["wire_bytes"] == int(
                     c["payload_bytes"] * (a - 1) / a)
+
+
+@pytest.mark.parametrize("seed,mo", [(100, 40), (103, 30)])
+def test_sharded_fuzz_random_mixed(seed, mo, tmp_path):
+    """Random mixed-length datasets through the sharded engine at stressed
+    mesh shapes must match the single-device stream exactly (regression
+    for the dynamic_slice start-clamp block loss found on pe_real)."""
+    import jax
+
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.ops.device_overlap import DeviceOverlapPipeline
+    from metagenomics_tpu.parallel.mesh import make_mesh
+    from metagenomics_tpu.parallel.sharded import ShardedOverlapPipeline
+
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    comp = np.zeros(256, np.uint8)
+    for k, v in zip(b"ACGT", b"TGCA"):
+        comp[k] = v
+    glen = int(rng.integers(20_000, 60_000))
+    g = bases[rng.integers(0, 4, glen)]
+    n = int(rng.integers(3_000, 9_000))
+    lens = rng.integers(60, 140, n)
+    starts = rng.integers(0, glen - 140, n)
+    path = tmp_path / "f.fasta"
+    with open(path, "wb") as f:
+        for t in range(n):
+            r = g[starts[t]:starts[t] + int(lens[t])]
+            if rng.random() < 0.5:
+                r = comp[r[::-1]]
+            f.write(b">r%d\n" % t)
+            f.write(r.tobytes())
+            f.write(b"\n")
+    ds = Dataset([], [str(path)], mo, log=lambda *a, **k: None)
+    base = DeviceOverlapPipeline(ds, mo).stream(check_cont=True)
+    devs = jax.devices()
+    for dp, ix in ((4, 2), (2, 4)):
+        sp = ShardedOverlapPipeline(
+            ds, mo, mesh=make_mesh(dp=dp, ix=ix, devices=devs[:dp * ix]))
+        out = sp.stream(check_cont=True)
+        for a, b in zip(base, out):
+            np.testing.assert_array_equal(a, b)
