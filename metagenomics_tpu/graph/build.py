@@ -275,6 +275,17 @@ class BuildMixin:
         explored = np.zeros(u + 1, dtype=np.int8)
         marked = np.zeros(u + 1, dtype=np.int8)
         adj = self.adj
+        # Heap-model: during construction the reference's overlap checks
+        # churn read-length std::string temporaries through the SAME malloc
+        # size class as Edge (sizeof(Edge) == 88 -> 96-byte chunks; so do
+        # 81..96-char strings), so construction-era Edge frees are recycled
+        # long before the late phases, and the construction teardown
+        # (OverlapGraph.cpp:207-210, >= 64 KiB frees) runs
+        # malloc_consolidate.  Net effect, validated against the reference
+        # binary on fuzzed datasets: construction-era allocations behave
+        # fresh-ascending and the reuse model starts EMPTY at the end of
+        # the unitig fixpoint (exactly the native engine's handoff state).
+        self._addr_track = False
 
         def insert_all_edges_of_read(rn):
             for k in range(starts[rn], starts[rn + 1]):
@@ -340,6 +351,12 @@ class BuildMixin:
             if c == 0:
                 break
 
+        # end of the unitig stage: reuse tracking starts here with empty
+        # tcache/fastbin (see the note above `self._addr_track = False`)
+        self._addr_free.clear()
+        self._addr_fast.clear()
+        self._addr_track = True
+
     def _load_native_result(self, res):
         """Materialize the native engine's final graph state into the Python
         edge structure (emission order = node-ascending adjacency order, so
@@ -364,13 +381,14 @@ class BuildMixin:
             edges[p] = Edge(
                 self, src_l[p], dst_l[p], ori_l[p], off_l[p],
                 man_reads[s:s + ln], man_offsets[s:s + ln],
-                man_orients[s:s + ln], serial=ser_l[p])
+                man_orients[s:s + ln], serial=ser_l[p], addr=ser_l[p])
         for p in range(ne):
             edges[p].reverse = edges[twin_l[p]]
             self.adj[edges[p].source].append(edges[p])
         self.number_of_nodes = int(res["n_nodes"])
         self.number_of_edges = int(res["n_edges"])
         self._serial = max(self._serial, int(res["serial_counter"]))
+        self._addr_next = max(self._addr_next, int(res["serial_counter"]))
         # read-location lists in the engine's final order; conversion to
         # per-read Python lists is deferred to first access (the data is
         # already complete in array form — Dataset._materialize_locations)
@@ -415,6 +433,7 @@ class BuildMixin:
                 tl = adj[twin.source]
                 for i1 in range(len(tl)):
                     if tl[i1] is twin:
+                        self._free_addr(twin.addr)  # `delete twinEdge` (:635)
                         tl[i1] = tl[-1]
                         tl.pop()
                         if not tl:
@@ -428,6 +447,7 @@ class BuildMixin:
                 lst[jj] = lst[index]
                 jj += 1
             else:
+                self._free_addr(lst[index].addr)  # `delete` at :654
                 self.number_of_edges -= 1
         del lst[jj:]
         if not lst:

@@ -3,11 +3,11 @@
 Faithful re-expression of the reference's graph layer
 (MetaGenomics/Edge.{h,cpp}, OverlapGraph.cpp) over plain Python structures.
 Operation ORDER is semantics here: adjacency lists append on insert and
-swap-with-last on remove (OverlapGraph.cpp:863-896), twin selection uses
-allocation order (the reference compares heap pointers, :460/:1237; we use a
-monotonically increasing serial assigned at construction), and every sort is
-the same sort the reference performs.  These details determine the byte
-content of the .unitig / contigs / gdl artifacts.
+swap-with-last on remove (OverlapGraph.cpp:863-896), twin selection compares
+heap ADDRESSES (the reference compares Edge pointers, :460/:1237; we carry a
+simulated glibc-malloc address per edge — see GraphCore._alloc_addr), and
+every sort is the same sort the reference performs.  These details determine
+the byte content of the .unitig / contigs / gdl artifacts.
 """
 
 import math
@@ -74,11 +74,11 @@ class Edge:
     __slots__ = ("source", "destination", "orient", "offset",
                  "list_reads", "list_offsets", "list_orients",
                  "reverse", "flow", "coverage_depth", "sd",
-                 "transitive_flag", "serial", "cached_str")
+                 "transitive_flag", "serial", "addr", "cached_str")
 
     def __init__(self, graph, source, destination, orient, offset,
                  list_reads=None, list_offsets=None, list_orients=None,
-                 serial=None):
+                 serial=None, addr=None):
         self.source = source
         self.destination = destination
         self.orient = orient
@@ -92,6 +92,11 @@ class Edge:
         self.sd = 0
         self.transitive_flag = False
         self.serial = graph._next_serial() if serial is None else serial
+        # simulated heap address (see GraphCore._alloc_addr): reproduces the
+        # reference's `new Edge` address ordering under glibc tcache-LIFO
+        # chunk reuse, so pointer-comparison tie-breaks (`edge <
+        # edge->getReverseEdge()`, OverlapGraph.cpp:460/:1237) are exact
+        self.addr = graph._alloc_addr() if addr is None else addr
         self.cached_str = None
 
     def __repr__(self):  # debug aid only
@@ -115,6 +120,20 @@ class GraphCore:
         self.estimated_genome_size = 0
         self.mp_marked_edges = set()   # filled by MatePairGraph refinement
         self._serial = 0
+        # edge "heap" model: the reference compares Edge POINTERS to pick
+        # which twin of a self-loop to emit (OverlapGraph.cpp:460/:1237,
+        # :1470, MatePairGraph.cpp:56-57).  glibc malloc serves fixed-size
+        # Edge chunks from a per-size tcache in LIFO order, so the relative
+        # addresses of a twin pair allocated after frees can invert (the
+        # forward edge can land ABOVE its twin).  We model this with a LIFO
+        # free-address stack: allocation pops the most recent free, frees
+        # push in the reference's `delete` order (twin first in removeEdge,
+        # OverlapGraph.cpp:863-896; twins then edges in
+        # removeTransitiveEdges, :623-661).
+        self._addr_free = []      # tcache: bounded LIFO (7 entries)
+        self._addr_fast = []      # fastbin spillover: unbounded LIFO
+        self._addr_next = 0
+        self._addr_track = True   # off during construction (build.py)
         # dirty-node tracking for the simplify fixpoint: activated lazily at
         # the first pass scan; _touch records every node whose incident
         # structure/flow changed, and each pass rescans only those (plus one
@@ -127,6 +146,33 @@ class GraphCore:
     def _next_serial(self):
         self._serial += 1
         return self._serial
+
+    def _alloc_addr(self):
+        """glibc malloc order for an Edge-sized chunk: tcache (LIFO, depth
+        7) first; on tcache miss take the fastbin head and REFILL the
+        tcache with up to 7 more fastbin chunks (which reverses their
+        order — glibc malloc.c tcache refill loop); else fresh memory
+        (monotonically increasing addresses)."""
+        if self._addr_free:
+            return self._addr_free.pop()
+        if self._addr_fast:
+            victim = self._addr_fast.pop()
+            free, fast = self._addr_free, self._addr_fast
+            while fast and len(free) < 7:
+                free.append(fast.pop())
+            return victim
+        self._addr_next += 1
+        return self._addr_next
+
+    def _free_addr(self, addr):
+        """glibc free: into tcache while it has room (7), else fastbin.
+        No-op while tracking is off (construction — see build.py)."""
+        if not self._addr_track:
+            return
+        if len(self._addr_free) < 7:
+            self._addr_free.append(addr)
+        else:
+            self._addr_fast.append(addr)
 
     def _clock(self, name):
         """Reference CLOCKSTART/CLOCKSTOP block around a pass
@@ -189,6 +235,9 @@ class GraphCore:
                             (self.adj[edge.source], edge)):
             for i in range(len(lst)):
                 if lst[i] is target:
+                    # reference `delete`s the twin first, then the edge
+                    # (OverlapGraph.cpp:873/:886) — free addrs in that order
+                    self._free_addr(target.addr)
                     lst[i] = lst[-1]
                     lst.pop()
                     if not lst:
@@ -441,7 +490,7 @@ class GraphCore:
             for e in lst:
                 if (e.source < e.destination
                         or (e.source == e.destination
-                            and e.serial < e.reverse.serial)):
+                            and e.addr < e.reverse.addr)):
                     contig_edges.append(e)
                     thickness = 1 if not e.list_reads else 3
                     style = self._GDL_EDGE_STYLES[e.orient] % thickness
@@ -521,7 +570,7 @@ class GraphCore:
             for e in self.adj[i]:
                 if (e.source < e.destination
                         or (e.source == e.destination
-                            and e.serial < e.reverse.serial)):
+                            and e.addr < e.reverse.addr)):
                     out.extend((e.source, e.destination, e.orient, e.offset,
                                 len(e.list_reads)))
                     for rid, off, orient in zip(e.list_reads, e.list_offsets,

@@ -72,7 +72,7 @@ class FlowMixin:
                 u = node_map[edge.source]
                 w = node_map[edge.destination]
                 lb, ub, cost = self.calculate_bound_and_cost(edge)
-                if u < w or (u == w and edge.serial < edge.reverse.serial):
+                if u < w or (u == w and edge.addr < edge.reverse.addr):
                     u1, u2, v1, v2 = 2 * u, 2 * u + 1, 2 * w, 2 * w + 1
                     if edge.orient == 0:
                         pairs = ((v1, u1), (u2, v2))
@@ -120,3 +120,9 @@ class FlowMixin:
         # pass's next sweep is a full scan
         self._pass_cursor.clear()
         self._events = []
+        # heap-model consolidation barrier (see GraphCore._alloc_addr): the
+        # reference frees its >= 64 KiB flow scratch here — the CS2 cost
+        # arrays (delete [] costs, OverlapGraph.cpp:1770) and the node-list
+        # vectors (:1570-1571) — which runs glibc malloc_consolidate and
+        # drains the Edge-size fastbin.  The tcache survives.
+        self._addr_fast.clear()

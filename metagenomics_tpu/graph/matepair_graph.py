@@ -75,7 +75,7 @@ class MatePairGraph:
         for i in range(1, len(g.adj)):
             for e in g.adj[i]:
                 u, v = e.source, e.destination
-                if u < v or (u == v and e.serial < e.reverse.serial):
+                if u < v or (u == v and e.addr < e.reverse.addr):
                     self.edge_ids[e] = next_id
                     self.edge_ids[e.reverse] = -next_id
                     self.list_of_edges.append(e)

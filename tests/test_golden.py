@@ -29,6 +29,14 @@ CONFIGS = {
     # mixed-length set remap PE mate pairs
     "mix_ps": ["-pe", "1", os.path.join(GOLDEN, "data", "pe_small.fasta"),
                "-se", "1", os.path.join(GOLDEN, "data", "se_mixlen.fasta")],
+    # fuzz-derived SE dataset (planted 300 bp repeat, mixed 60-100 bp reads)
+    # that provokes heap-reuse-dependent self-loop twin selection: the
+    # reference emits whichever twin has the LOWER malloc address
+    # (OverlapGraph.cpp:460), and here glibc tcache reuse inverts two pairs
+    # created by late-phase merges.  Pins GraphCore's heap model
+    # (core.py _alloc_addr/_free_addr) — the serial-order model got
+    # graph2..contigs4 wrong on this input.
+    "se_heap": ["-se", "1", os.path.join(GOLDEN, "data", "se_heap.fasta")],
 }
 
 ARTIFACTS = [

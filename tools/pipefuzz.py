@@ -1,0 +1,93 @@
+"""Full-pipeline fuzz harness: random repeat-heavy datasets, reference
+binary vs our CLI, every artifact byte-compared.
+
+Planted tandem/dispersed repeats induce self-loops and late-phase merges
+(the heap-address twin-selection paths — COMPONENTS.md known deviations).
+Usage: python tools/pipefuzz.py [seeds...]   (FUZZ_ENGINE=host|native|...,
+MGTPU_NO_NATIVE=1 for the pure-Python path; default seeds 1..40)
+"""
+import os, random, subprocess, sys, tempfile, shutil
+
+REF = "/root/repo/golden/metagenomics_ref_O0"
+ARTS = [".unitig", "_flow.input", "graph1.gdl", "contigs1.fasta",
+        "graph2.gdl", "contigs2.fasta", "graph3.gdl", "contigs3.fasta",
+        "graph4.gdl", "contigs4.fasta", "_sortedReads.fasta"]
+COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def gen(seed, path):
+    rng = random.Random(seed)
+    n_rep = rng.randint(1, 3)
+    glen = rng.randint(4000, 8000)
+    g = [rng.choice("ACGT") for _ in range(glen)]
+    # plant tandem/dispersed repeats (induce self-loops + flow>1 edges)
+    for _ in range(n_rep):
+        rl = rng.randint(150, 400)
+        s = rng.randint(0, glen - rl - 1)
+        seg = g[s:s + rl]
+        if rng.random() < 0.5:
+            # tandem: duplicate in place
+            g[s + rl:s + rl] = list(seg)
+        else:
+            d = rng.randint(0, len(g) - 1)
+            g[d:d] = list(seg)
+    genome = "".join(g)
+    nreads = rng.randint(4000, 9000)
+    cov_reads = []
+    for i in range(nreads):
+        L = rng.choice((60, 70, 80, 90, 100))
+        p = rng.randint(0, len(genome) - L)
+        r = genome[p:p + L]
+        if rng.random() < 0.5:
+            r = "".join(COMP[c] for c in reversed(r))
+        if rng.random() < 0.05:  # low error rate
+            j = rng.randint(0, L - 1)
+            r = r[:j] + rng.choice("ACGT") + r[j + 1:]
+        cov_reads.append(r)
+    with open(path, "w") as f:
+        for i, r in enumerate(cov_reads):
+            f.write(">r%d\n%s\n" % (i, r))
+
+
+def run_one(seed):
+    d = tempfile.mkdtemp(prefix="pf%d_" % seed)
+    fa = os.path.join(d, "f.fasta")
+    gen(seed, fa)
+    rd, od = os.path.join(d, "ref"), os.path.join(d, "ours")
+    os.makedirs(rd); os.makedirs(od)
+    r1 = subprocess.run([REF, "-se", "1", fa, "-f", "x_", "-l", "40"],
+                        cwd=rd, capture_output=True, timeout=600)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
+               MG_ENGINE=os.environ.get("FUZZ_ENGINE", "host"))
+    r2 = subprocess.run([sys.executable, "-m", "metagenomics_tpu.cli",
+                         "-se", "1", fa, "-f", "x_", "-l", "40"],
+                        cwd=od, capture_output=True, timeout=900, env=env)
+    if r1.returncode != r2.returncode:
+        print("seed %d: rc ref=%d ours=%d  (%s)" % (seed, r1.returncode,
+                                                    r2.returncode, d))
+        return False
+    bad = []
+    for a in ARTS:
+        fr, fo = os.path.join(rd, "x_" + a), os.path.join(od, "x_" + a)
+        if os.path.exists(fr) != os.path.exists(fo):
+            bad.append(a + "(exist)")
+        elif os.path.exists(fr):
+            with open(fr, "rb") as h1, open(fo, "rb") as h2:
+                if h1.read() != h2.read():
+                    bad.append(a)
+    if bad:
+        print("seed %d: DIFF %s  (%s)" % (seed, ",".join(bad), d))
+        return False
+    shutil.rmtree(d)
+    return True
+
+
+if __name__ == "__main__":
+    seeds = [int(a) for a in sys.argv[1:]] or list(range(1, 41))
+    fails = 0
+    for s in seeds:
+        ok = run_one(s)
+        if not ok:
+            fails += 1
+        print("seed %d %s" % (s, "ok" if ok else "FAIL"), flush=True)
+    print("done: %d/%d failed" % (fails, len(seeds)))
