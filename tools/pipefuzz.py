@@ -4,7 +4,9 @@ binary vs our CLI, every artifact byte-compared.
 Planted tandem/dispersed repeats induce self-loops and late-phase merges
 (the heap-address twin-selection paths — COMPONENTS.md known deviations).
 Usage: python tools/pipefuzz.py [seeds...]   (FUZZ_ENGINE=host|native|...,
-MGTPU_NO_NATIVE=1 for the pure-Python path; default seeds 1..40)
+MGTPU_NO_NATIVE=1 for the pure-Python path, FUZZ_MODE=pe for interleaved
+paired-end datasets exercising the mate-pair/scaffolder merge paths;
+default seeds 1..40)
 """
 import os, random, subprocess, sys, tempfile, shutil
 
@@ -32,6 +34,29 @@ def gen(seed, path):
             d = rng.randint(0, len(g) - 1)
             g[d:d] = list(seg)
     genome = "".join(g)
+
+    def mutate(r):
+        if rng.random() < 0.05:  # low error rate
+            j = rng.randint(0, len(r) - 1)
+            r = r[:j] + rng.choice("ACGT") + r[j + 1:]
+        return r
+
+    def rc(r):
+        return "".join(COMP[c] for c in reversed(r))
+
+    if os.environ.get("FUZZ_MODE") == "pe":
+        # interleaved mate pairs (the pairing Dataset expects): fragments
+        # of ~300 bp, a read off each end, second mate reverse-complemented
+        npairs = rng.randint(2500, 4500)
+        with open(path, "w") as f:
+            for i in range(npairs):
+                L = rng.choice((60, 70, 80, 90, 100))
+                frag = rng.randint(max(2 * L, 250), 400)
+                p = rng.randint(0, len(genome) - frag)
+                r1 = mutate(genome[p:p + L])
+                r2 = mutate(rc(genome[p + frag - L:p + frag]))
+                f.write(">p%d/1\n%s\n>p%d/2\n%s\n" % (i, r1, i, r2))
+        return
     nreads = rng.randint(4000, 9000)
     cov_reads = []
     for i in range(nreads):
@@ -39,10 +64,8 @@ def gen(seed, path):
         p = rng.randint(0, len(genome) - L)
         r = genome[p:p + L]
         if rng.random() < 0.5:
-            r = "".join(COMP[c] for c in reversed(r))
-        if rng.random() < 0.05:  # low error rate
-            j = rng.randint(0, L - 1)
-            r = r[:j] + rng.choice("ACGT") + r[j + 1:]
+            r = rc(r)
+        r = mutate(r)
         cov_reads.append(r)
     with open(path, "w") as f:
         for i, r in enumerate(cov_reads):
@@ -53,14 +76,15 @@ def run_one(seed):
     d = tempfile.mkdtemp(prefix="pf%d_" % seed)
     fa = os.path.join(d, "f.fasta")
     gen(seed, fa)
+    kind = "-pe" if os.environ.get("FUZZ_MODE") == "pe" else "-se"
     rd, od = os.path.join(d, "ref"), os.path.join(d, "ours")
     os.makedirs(rd); os.makedirs(od)
-    r1 = subprocess.run([REF, "-se", "1", fa, "-f", "x_", "-l", "40"],
+    r1 = subprocess.run([REF, kind, "1", fa, "-f", "x_", "-l", "40"],
                         cwd=rd, capture_output=True, timeout=600)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
                MG_ENGINE=os.environ.get("FUZZ_ENGINE", "host"))
     r2 = subprocess.run([sys.executable, "-m", "metagenomics_tpu.cli",
-                         "-se", "1", fa, "-f", "x_", "-l", "40"],
+                         kind, "1", fa, "-f", "x_", "-l", "40"],
                         cwd=od, capture_output=True, timeout=900, env=env)
     if r1.returncode != r2.returncode:
         print("seed %d: rc ref=%d ours=%d  (%s)" % (seed, r1.returncode,
