@@ -63,6 +63,11 @@ def get_lib():
             ctypes.c_int64, _I64P, _I64P,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.mg_build_stream_canon.restype = ctypes.c_void_p
+        lib.mg_build_stream_canon.argtypes = [
+            ctypes.c_int64, _I64P, _I64P,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
         lib.mg_supers.restype = None
         lib.mg_supers.argtypes = [ctypes.c_void_p, _I64P]
         for name in ("mg_num_edges", "mg_num_nodes", "mg_graph_num_edges",
@@ -150,6 +155,34 @@ def build_graph_stream(lengths, counts, r2, meta, mixed, dead_end_length,
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         len(r2), 1 if mixed else 0, dead_end_length, n_threads)
     return _extract_result(lib, h, n_reads, want_supers=True)
+
+
+def build_graph_stream_canon(lengths, counts, r2, meta, hash_len,
+                             dead_end_length, n_threads=None):
+    """Threaded native replay of the CANONICAL (deduplicated) device
+    survivor stream: one record per physical overlap, discovered from its
+    smaller endpoint (self overlaps keep both occurrences); containment is
+    already resolved on device, so every record is a kept edge.  The C++
+    side reconstructs the mirror occurrences and each read's discovery
+    order arithmetically (see mg_build_stream_canon).  Returns the graph
+    dict (no 'supers' — the caller owns the device-computed supers), or
+    None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    n_reads = len(lengths) - 1
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    r2 = np.ascontiguousarray(r2, dtype=np.int32)
+    meta = np.ascontiguousarray(meta, dtype=np.uint16)
+    h = lib.mg_build_stream_canon(
+        n_reads, _p64(lengths), _p64(counts),
+        r2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        len(r2), hash_len, dead_end_length, n_threads)
+    return _extract_result(lib, h, n_reads, want_supers=False)
 
 
 def solve_min_cost_flow_native(n, arcs):

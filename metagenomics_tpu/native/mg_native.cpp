@@ -1180,6 +1180,120 @@ void *mg_build_stream(int64_t n_reads, const int64_t *lengths,
     return res;
 }
 
+// Canonical-dedup replay of the device survivor stream.  Every physical
+// overlap crosses the device->host link ONCE, as the occurrence discovered
+// from its smaller endpoint (self overlaps r1 == r2 keep both of their
+// occurrences); containment has already been resolved on device, so every
+// record is a kept edge.  The mirror occurrence — what the reference's
+// probe loop at the LARGER endpoint produced (OverlapGraph.cpp:529-565) —
+// is reconstructed arithmetically from the twin-edge algebra
+// (OverlapGraph.cpp:407-419: twin orientation 0<->3 / 1,2 fixed,
+// twin offset = len2 + offset - len1), and each read's candidate list is
+// restored to the reference's discovery order by sorting on
+// (probe position j, partner id, hash orientation): the probe loop is j
+// ascending (OverlapGraph.cpp:534) and a hash bucket's entries are in
+// (read id, orientation) insertion order (HashTable.cpp:88-104).  The
+// derivation j = offset (prefix cases eo 2,3) / len - l - offset (suffix
+// cases eo 0,1) inverts the offset rules of OverlapGraph.cpp:550-557.
+// meta layout matches mg_build_stream: bits 0-1 edge orientation,
+// bits 4-15 overlap offset (flag bits 2-3 are ignored here).
+void *mg_build_stream_canon(int64_t n_reads, const int64_t *lengths,
+                            const int64_t *counts, const int32_t *r2s,
+                            const uint16_t *metas, int64_t n_items,
+                            int64_t hash_len, int64_t dead_end_length,
+                            int64_t n_threads) {
+    double t0 = now_s();
+    int nt = (int)n_threads;
+    if (nt < 1) nt = 1;
+    const int64_t l = hash_len;
+
+    // pass 1: per-read final candidate counts (direct + mirror)
+    std::vector<int64_t> cstart(n_reads + 2, 0);
+    {
+        int64_t k = 0;
+        for (int64_t r1 = 1; r1 <= n_reads; r1++)
+            for (int64_t e = k + counts[r1]; k < e; k++) {
+                cstart[r1 + 1]++;
+                if (r2s[k] != (int32_t)r1) cstart[(int64_t)r2s[k] + 1]++;
+            }
+        (void)n_items;
+    }
+    for (int64_t r = 1; r <= n_reads + 1; r++) cstart[r] += cstart[r - 1];
+    const int64_t total = cstart[n_reads + 1];
+
+    // pass 2: fill (sort key, offset) per read.  key packs the discovery
+    // order (j, partner, hash orientation) into one uint64:
+    // j:12 | dest:31 | orient:2 — a plain uint64 compare is the
+    // lexicographic order.
+    struct CanonEnt {
+        uint64_t key;
+        int32_t off;
+    };
+    std::vector<CanonEnt> ents(total);
+    std::vector<int64_t> cur(cstart.begin(), cstart.end() - 1);
+    {
+        auto pack = [](int64_t j, int64_t dest, int64_t orient, int64_t off) {
+            CanonEnt e;
+            e.key = ((uint64_t)j << 33) | ((uint64_t)dest << 2)
+                    | (uint64_t)orient;
+            e.off = (int32_t)off;
+            return e;
+        };
+        int64_t k = 0;
+        for (int64_t r1 = 1; r1 <= n_reads; r1++) {
+            const int64_t len1 = lengths[r1];
+            for (int64_t e = k + counts[r1]; k < e; k++) {
+                const int64_t r2 = r2s[k];
+                const int64_t eo = metas[k] & 3;
+                const int64_t off = metas[k] >> 4;
+                const int64_t j1 = (eo >= 2) ? off : len1 - l - off;
+                ents[cur[r1]++] = pack(j1, r2, eo, off);
+                if (r2 == r1) continue;           // self overlap: mirror is
+                                                  // its own stream record
+                const int64_t len2 = lengths[r2];
+                const int64_t teo = (eo == 0) ? 3 : (eo == 3) ? 0 : eo;
+                const int64_t off2 = len2 + off - len1;
+                const int64_t j2 = (teo >= 2) ? off2 : len2 - l - off2;
+                ents[cur[r2]++] = pack(j2, r1, teo, off2);
+            }
+        }
+    }
+    // pass 3: per-read discovery-order sort, split across threads (reads
+    // partition the entry ranges, so ranges are disjoint)
+    {
+        auto sort_range = [&](int64_t r_lo, int64_t r_hi) {
+            for (int64_t r = r_lo; r < r_hi; r++)
+                std::sort(ents.begin() + cstart[r],
+                          ents.begin() + cstart[r + 1],
+                          [](const CanonEnt &a, const CanonEnt &b) {
+                              return a.key < b.key;
+                          });
+        };
+        if (nt >= 2 && total > 1 << 16) {
+            int64_t mid = 1;
+            while (mid <= n_reads && cstart[mid] < total / 2) mid++;
+            std::thread th(sort_range, 1, mid);
+            sort_range(mid, n_reads + 1);
+            th.join();
+        } else {
+            sort_range(1, n_reads + 1);
+        }
+    }
+    std::vector<int32_t> cdest(total);
+    std::vector<int8_t> corient(total);
+    std::vector<int32_t> coffset(total);
+    for (int64_t k = 0; k < total; k++) {
+        cdest[k] = (int32_t)((ents[k].key >> 2) & 0x7FFFFFFF);
+        corient[k] = (int8_t)(ents[k].key & 3);
+        coffset[k] = ents[k].off;
+    }
+    ents.clear();
+    ents.shrink_to_fit();
+    PROF("canon-recon", t0);
+    return construct_threaded(n_reads, lengths, dead_end_length, nt,
+                              cstart, cdest, corient, coffset);
+}
+
 void mg_supers(void *h, int64_t *out) {
     Result *r = (Result *)h;
     if (!r->supers.empty())

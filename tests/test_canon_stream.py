@@ -1,0 +1,88 @@
+"""Canonical-dedup stream replay equivalence.
+
+The device pipeline can halve its device->host survivor stream by sending
+each physical overlap once — the occurrence discovered from its smaller
+endpoint — and letting the native replay reconstruct the mirror occurrence
+and each read's probe discovery order arithmetically
+(native/mg_native.cpp mg_build_stream_canon; twin algebra
+OverlapGraph.cpp:407-419, probe order :534 + HashTable.cpp:88-104).
+
+These tests prove the reconstruction is EXACT: for several golden datasets
+(mixed lengths with contained reads, planted repeats with self-loop edges,
+paired-end hard data) the graph built from the canonical stream must be
+byte-identical — every edge field, serial, twin position, manifest and
+read-location array — to the graph built from the full stream.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "golden", "data")
+
+DATASETS = {
+    "se_small": ([], ["se_small.fasta"]),
+    "se_mixlen": ([], ["se_mixlen.fasta"]),
+    "se_heap": ([], ["se_heap.fasta"]),
+    "se_hard": ([], ["se_hard.fasta"]),
+    "pe_hard": (["pe_hard_a.fasta", "pe_hard_b.fasta"], []),
+    "mix_ps": (["pe_small.fasta"], ["se_mixlen.fasta"]),
+}
+
+
+def _quiet(*a, **k):
+    pass
+
+
+@pytest.mark.parametrize("name", sorted(DATASETS))
+def test_canon_stream_graph_identical(name):
+    from metagenomics_tpu import native
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.ops.device_overlap import DeviceOverlapPipeline
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    pe, se = DATASETS[name]
+    pe = [os.path.join(GOLDEN, f) for f in pe]
+    se = [os.path.join(GOLDEN, f) for f in se]
+    min_overlap = 40
+    ds = Dataset(pe, se, min_overlap, log=_quiet)
+    mixed = ds.longest_read_length != ds.shortest_read_length
+
+    pipeline = DeviceOverlapPipeline(ds, min_overlap)
+    counts, r2, meta = pipeline.stream(check_cont=mixed)
+    full = native.build_graph_stream(ds.lengths, counts, r2, meta, mixed, 10)
+    assert full is not None
+
+    # canonical subset: containment resolved first (the supers array from
+    # the full replay is the reference semantics), then one record per
+    # overlap from its smaller endpoint; self overlaps keep both records
+    r1 = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    edge_ok = ((meta >> 2) & 1).astype(bool)
+    sup = full["supers"]
+    keep = (edge_ok & (r1 <= r2)
+            & (sup[r1] == 0) & (sup[np.asarray(r2, np.int64)] == 0))
+    ccounts = np.zeros(len(counts), np.int64)
+    np.add.at(ccounts, r1[keep], 1)
+    canon = native.build_graph_stream_canon(
+        ds.lengths, ccounts, r2[keep], meta[keep], min_overlap - 1, 10)
+    assert canon is not None
+
+    # the halving is exact: every non-self overlap appears twice in the
+    # kept full stream
+    n_kept_full = int((edge_ok & (sup[r1] == 0)
+                       & (sup[np.asarray(r2, np.int64)] == 0)).sum())
+    n_self = int((keep & (r1 == np.asarray(r2, np.int64))).sum())
+    assert n_kept_full == 2 * int(keep.sum()) - n_self
+
+    for key in sorted(full):
+        if key in ("supers", "cont_heartbeats"):
+            continue
+        va, vb = full[key], canon[key]
+        if isinstance(va, np.ndarray):
+            assert va.shape == vb.shape, "%s/%s shape" % (name, key)
+            assert (va == vb).all(), "%s/%s values" % (name, key)
+        else:
+            assert va == vb, "%s/%s" % (name, key)
