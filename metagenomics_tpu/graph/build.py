@@ -169,10 +169,19 @@ class BuildMixin:
         import os
         ds = self.ds
         mixed = ds.longest_read_length != ds.shortest_read_length
+        use_native = (getattr(self.cfg, "use_native_build", True)
+                      and not os.environ.get("MGTPU_NO_NATIVE"))
+
+        if use_native and hasattr(pipeline, "stream_canon"):
+            from .. import native
+            if native.get_lib() is not None:
+                canon = pipeline.stream_canon(check_cont=mixed)
+                if canon is not None and self._build_from_canon(canon, mixed):
+                    return
+
         counts, r2, meta = pipeline.stream(check_cont=mixed)
 
-        if (getattr(self.cfg, "use_native_build", True)
-                and not os.environ.get("MGTPU_NO_NATIVE")):
+        if use_native:
             from .. import native
             res = native.build_graph_stream(
                 ds.lengths, counts, r2, meta, mixed, self.cfg.dead_end_length)
@@ -201,6 +210,41 @@ class BuildMixin:
         keep = edge_ok & (sup[batch.r1] == 0) & (sup[batch.r2] == 0)
         self._build_from_filtered(batch.r1[keep], batch.r2[keep],
                                   eo[keep], eoff[keep])
+
+    def _build_from_canon(self, canon, mixed):
+        """Finish construction from the canonical device stream: the native
+        replay reconstructs mirror occurrences (mg_build_stream_canon);
+        containment was resolved ON DEVICE (ops/device_overlap._cont_canon),
+        so this only replays the logs and materializes the result.  Returns
+        False if the native replay is unavailable."""
+        from .. import native
+        ds = self.ds
+        counts, r2, meta, supers, firsthit = canon
+        res = native.build_graph_stream_canon(
+            ds.lengths, counts, r2, meta, self.cfg.hash_string_length,
+            self.cfg.dead_end_length)
+        if res is None:
+            return False
+        if mixed and supers is not None:
+            ds.super_read_id[:] = supers
+            # per-1e6 contained-read heartbeats (OverlapGraph.cpp:273-274):
+            # counter at boundary b = contained reads whose FIRST containing
+            # hit came from a probing read id <= b
+            fh = firsthit[np.flatnonzero(supers[1:]) + 1]
+            fh.sort()
+            heartbeats = [(b, int(np.searchsorted(fh, b, side="right")))
+                          for b in range(1000000,
+                                         ds.number_of_unique_reads + 1,
+                                         1000000)]
+        else:
+            heartbeats = []
+        self._log_contained(mixed, heartbeats)
+        ds.read_mate_pairs_from_file()
+        fixpoint_log = (res["bfs_nodes"], res["bfs_edges"],
+                        res["iter_log"], res["bfs_heartbeats"])
+        self._load_native_result(res)
+        self._emit_native_fixpoint_log(*fixpoint_log)
+        return True
 
     def _log_contained(self, mixed, heartbeats=()):
         ds = self.ds

@@ -408,10 +408,10 @@ def _row_stats(rk, rcnt, h_total, n1, npos):
 
 @partial(jax.jit, static_argnames=(
     "hash_len", "nqt", "cap", "npos", "w", "qw_max", "check_cont",
-    "off_bits", "uniform_len"))
+    "off_bits", "uniform_len", "dedup"))
 def _emit2(packed2, lengths, rk_pad, rleft_pad, rcnt_pad, sid, h0, nh_real,
            hash_len, nqt, cap, npos, w, qw_max, check_cont, off_bits,
-           uniform_len):
+           uniform_len, dedup=False):
     """Expand + verify + order one chunk of hit queries [h0, h0+nh_real).
 
     nqt is the static tier size of the slice; nh_real (dynamic scalar) is
@@ -458,7 +458,13 @@ def _emit2(packed2, lengths, rk_pad, rleft_pad, rcnt_pad, sid, h0, nh_real,
     edge_ok, cont_ok, eo, eoff = _verify_pairs(
         packed2, len1, len2, r1c, j, r2, orient, hash_len, w, qw_max,
         check_cont)
-    keep = in_range & (edge_ok | cont_ok)
+    if dedup:
+        # canonical-dedup mode (uniform lengths, no containment): keep each
+        # overlap's smaller-endpoint occurrence only; the native replay
+        # reconstructs the mirrors (mg_build_stream_canon)
+        keep = in_range & edge_ok & (r1c <= r2)
+    else:
+        keep = in_range & (edge_ok | cont_ok)
     fe = (eo | (edge_ok.astype(jnp.int32) << 2)
           | (cont_ok.astype(jnp.int32) << 3))
     n_keep = keep.sum(dtype=jnp.int32)
@@ -481,6 +487,60 @@ def _emit2(packed2, lengths, rk_pad, rleft_pad, rcnt_pad, sid, h0, nh_real,
     return (r2_out, meta_out), keep_counts, n_keep
 
 
+@partial(jax.jit, static_argnames=("n1", "off_bits"))
+def _cont_canon(out, kc, n_keep, lengths, n1, off_bits):
+    """On-device containment resolution + canonical edge filter over one
+    survivor buffer (single-chunk mixed-length datasets).
+
+    Replays the reference's containment rule on device
+    (OverlapGraph.cpp:225-290 via the stream replay semantics: first
+    containing read wins, a strictly longer one replaces) as a pair of
+    segment reductions over discovery order: the winner for a contained
+    read is the FIRST hit whose container length equals the segment
+    maximum.  Then filters edge records to non-contained endpoints and
+    the canonical (smaller-endpoint) occurrence, compacting with one
+    stable sort.  Returns (words2, counts2, n_keep2, supers, firsthit_r1)
+    — firsthit_r1 feeds the per-1e6 contained-read heartbeat log lines.
+    """
+    cap = out.shape[0]
+    k = jnp.arange(cap, dtype=jnp.int32)
+    live = k < n_keep
+    # recover each slot's source read: scatter read starts, fill with cummax
+    cum = jnp.cumsum(kc, dtype=jnp.int32)
+    starts = cum - kc
+    ridx = jnp.arange(n1, dtype=jnp.int32)
+    dest = jnp.where(kc > 0, starts, cap)
+    seed = jnp.zeros((cap,), jnp.int32).at[dest].max(ridx, mode="drop")
+    r1 = jax.lax.cummax(seed)
+
+    ob = off_bits
+    r2 = (out >> jnp.uint32(4 + ob)).astype(jnp.int32)
+    fe = ((out >> jnp.uint32(ob)) & jnp.uint32(15)).astype(jnp.int32)
+    cont = live & ((fe & 8) != 0)
+    edge = live & ((fe & 4) != 0)
+    len1 = lengths[r1]
+    r2c = jnp.clip(r2, 0, n1 - 1)
+
+    big = jnp.int32(cap)
+    seg = jnp.where(cont, r2c, n1)            # n1 is out of range -> dropped
+    maxlen = jnp.zeros((n1,), jnp.int32).at[seg].max(len1, mode="drop")
+    is_max = cont & (len1 == maxlen[r2c])
+    winner = jnp.full((n1,), big, jnp.int32).at[
+        jnp.where(is_max, r2c, n1)].min(k, mode="drop")
+    first = jnp.full((n1,), big, jnp.int32).at[seg].min(k, mode="drop")
+    winner_r1 = r1[jnp.clip(winner, 0, cap - 1)]
+    supers = jnp.where(winner < big, winner_r1, 0)
+    firsthit = jnp.where(first < big, r1[jnp.clip(first, 0, cap - 1)], 0)
+
+    keep2 = (edge & (supers[r1] == 0) & (supers[r2c] == 0) & (r1 <= r2))
+    counts2 = jnp.zeros((n1,), jnp.int32).at[
+        jnp.where(keep2, r1, n1)].add(1, mode="drop")
+    n_keep2 = keep2.sum(dtype=jnp.int32)
+    skey = 1 - keep2.astype(jnp.uint32)
+    _, words2 = jax.lax.sort((skey, out), num_keys=1, is_stable=True)
+    return words2, counts2, n_keep2, supers, firsthit
+
+
 def _tier(x, lo=1 << 16):
     """Smallest of {2^k, 3*2^(k-1)} >= x: bounds compile tiers to ~2/octave."""
     t = lo
@@ -501,6 +561,8 @@ class DeviceOverlapPipeline:
     """
 
     MAX_CAP = 1 << 23      # upper bound on a chunk's candidate buffer
+    CHUNK_TARGET = 1 << 21  # dedup-path chunk size: bounds buffer memory
+                            # and lets chunk fetches overlap later compute
 
     def __init__(self, dataset, min_overlap, chunk_rows=None):
         self.ds = dataset
@@ -560,6 +622,52 @@ class DeviceOverlapPipeline:
         self.uniform_len = (int(lens[0])
                             if len(lens) and (lens == lens[0]).all() else -1)
 
+    def _plan_chunks(self, chunk_cap=None):
+        """Chunk plan (cap, nqt, chunks) with chunks = [(hit offset, hit
+        count)]; every chunk's candidate total fits cap."""
+        npos = self.npos
+        n1 = self.hf.shape[0]
+        grand, h_total = self.grand, self.h_total
+        limit = min(chunk_cap or self.MAX_CAP, self.MAX_CAP)
+        if grand <= limit:
+            return (_tier(max(grand, 1)), _tier(max(h_total, 1)),
+                    [(0, h_total)])
+        row_tot, row_hits = _row_stats(self.rk, self.rcnt,
+                                       np.int32(h_total), n1, npos)
+        row_tot = np.asarray(row_tot).astype(np.int64)
+        row_hits = np.asarray(row_hits).astype(np.int64)
+        cap = min(_tier(max(grand, 1)), limit)
+        cap = max(cap, int(row_tot.max()))
+        cum = np.concatenate([[0], np.cumsum(row_tot)])
+        bounds = [0]
+        while bounds[-1] < n1:
+            b = int(np.searchsorted(cum, cum[bounds[-1]] + cap,
+                                    side="right")) - 1
+            b = max(b, bounds[-1] + 1)
+            bounds.append(min(b, n1))
+        hoff = np.concatenate([[0], np.cumsum(row_hits)])
+        chunks = []
+        for i in range(len(bounds) - 1):
+            assert int(row_tot[bounds[i]:bounds[i + 1]].sum()) <= cap
+            chunks.append((int(hoff[bounds[i]]),
+                           int(hoff[bounds[i + 1]] - hoff[bounds[i]])))
+        nqt = _tier(max(max(c[1] for c in chunks), 1))
+        return cap, nqt, chunks
+
+    def _padded(self, nqt):
+        """Sentinel-pad the probe arrays once so every chunk's static-size
+        dynamic_slice stays in bounds without clamping."""
+        if getattr(self, "_pad_cache", None) is None or \
+                self._pad_cache[0] < nqt:
+            self._pad_cache = (nqt, (
+                jnp.concatenate(
+                    [self.rk, jnp.full((nqt,), PAD_HASH, jnp.uint32)]),
+                jnp.concatenate(
+                    [self.rleft, jnp.zeros((nqt,), jnp.int32)]),
+                jnp.concatenate(
+                    [self.rcnt, jnp.zeros((nqt,), jnp.int32)])))
+        return self._pad_cache[1]
+
     def stream(self, check_cont=True, download=True):
         """Survivor stream in reference discovery order (read asc, j asc,
         bucket order): (counts [n+1] int64, r2 int32, meta uint16).
@@ -570,43 +678,8 @@ class DeviceOverlapPipeline:
         measurement mode (bench.py)."""
         npos = self.npos
         n1 = self.hf.shape[0]
-        grand, h_total = self.grand, self.h_total
-
-        if grand <= self.MAX_CAP:
-            cap = _tier(max(grand, 1))
-            nqt = _tier(max(h_total, 1))
-            chunks = [(0, h_total)]           # (hit offset, hit count)
-        else:
-            row_tot, row_hits = _row_stats(self.rk, self.rcnt,
-                                           np.int32(h_total), n1, npos)
-            row_tot = np.asarray(row_tot).astype(np.int64)
-            row_hits = np.asarray(row_hits).astype(np.int64)
-            cap = min(_tier(max(grand, 1)), self.MAX_CAP)
-            cap = max(cap, int(row_tot.max()))
-            bounds = [0]
-            acc = 0
-            for r in range(n1):
-                if acc + row_tot[r] > cap and bounds[-1] != r:
-                    bounds.append(r)
-                    acc = 0
-                acc += row_tot[r]
-            bounds.append(n1)
-            hoff = np.concatenate([[0], np.cumsum(row_hits)])
-            chunks = []
-            for i in range(len(bounds) - 1):
-                assert int(row_tot[bounds[i]:bounds[i + 1]].sum()) <= cap
-                chunks.append((int(hoff[bounds[i]]),
-                               int(hoff[bounds[i + 1]] - hoff[bounds[i]])))
-            nqt = _tier(max(max(c[1] for c in chunks), 1))
-
-        # sentinel-pad the restored probe arrays once so every chunk's
-        # static-size dynamic_slice stays in bounds without clamping
-        rk_pad = jnp.concatenate(
-            [self.rk, jnp.full((nqt,), PAD_HASH, jnp.uint32)])
-        rleft_pad = jnp.concatenate(
-            [self.rleft, jnp.zeros((nqt,), jnp.int32)])
-        rcnt_pad = jnp.concatenate(
-            [self.rcnt, jnp.zeros((nqt,), jnp.int32)])
+        cap, nqt, chunks = self._plan_chunks()
+        rk_pad, rleft_pad, rcnt_pad = self._padded(nqt)
 
         # dispatch every chunk (async), device-accumulate the per-read
         # survivor counts, then fetch: all n_keep scalars in one sweep,
@@ -665,6 +738,105 @@ class DeviceOverlapPipeline:
             r2 = np.zeros(0, np.int32)
             meta = np.zeros(0, np.uint16)
         return keep_counts, r2, meta
+
+    def _fetch_packed(self, bufs_nk):
+        """Fetch packed-u32 device buffers: each (buf, nk) tier-sliced and
+        split into sub-slices fetched concurrently — this link's aggregate
+        D2H bandwidth is ~2x its single-stream rate."""
+        import concurrent.futures as cf
+        views = []                            # per input: list of sub-views
+        for buf, nk in bufs_nk:
+            if nk == 0:
+                views.append([])
+                continue
+            sl = min(_tier(nk, lo=1 << 12), buf.shape[0])
+            parts = 4 if sl >= 1 << 20 else (2 if sl >= 1 << 16 else 1)
+            step = -(-sl // parts)
+            views.append([buf[a:min(a + step, sl)]
+                          for a in range(0, sl, step)])
+        flat = [v for row in views for v in row]
+        if len(flat) > 1:
+            with cf.ThreadPoolExecutor(min(8, len(flat))) as ex:
+                fetched = list(ex.map(np.asarray, flat))
+        else:
+            fetched = [np.asarray(v) for v in flat]
+        out = []
+        i = 0
+        for row, (_, nk) in zip(views, bufs_nk):
+            if not row:
+                out.append(np.zeros(0, np.uint32))
+                continue
+            got = (np.concatenate(fetched[i:i + len(row)])
+                   if len(row) > 1 else fetched[i])
+            i += len(row)
+            out.append(got[:nk])
+        return out
+
+    def _unpack_words(self, packed):
+        ob = self.off_bits
+        r2 = (packed >> np.uint32(4 + ob)).astype(np.int32)
+        meta = ((((packed >> np.uint32(ob)) & np.uint32(15))
+                 | ((packed & np.uint32((1 << ob) - 1)) << np.uint32(4)))
+                .astype(np.uint16))
+        return r2, meta
+
+    def stream_canon(self, check_cont=True):
+        """Canonical (deduplicated) survivor stream for the native replay
+        (mg_build_stream_canon): one record per physical overlap, from its
+        smaller endpoint; containment resolved ON DEVICE.
+
+        Returns (counts int64, r2 int32, meta uint16, supers, firsthit) —
+        supers/firsthit are None for uniform-length datasets — or None when
+        the canonical path is unsupported (no packed-word layout, or a
+        mixed-length dataset whose candidate total needs multiple chunks).
+        """
+        if self.off_bits < 0:
+            return None
+        n1 = self.hf.shape[0]
+        npos = self.npos
+
+        if check_cont:
+            cap, nqt, chunks = self._plan_chunks()
+            if len(chunks) > 1:
+                return None                   # containment is global; the
+                                              # full-stream path handles it
+            rk_pad, rleft_pad, rcnt_pad = self._padded(nqt)
+            h0, nh = chunks[0]
+            out, kc, n_keep = _emit2(
+                self.packed2, self.lengths, rk_pad, rleft_pad, rcnt_pad,
+                self.sid, np.int32(h0), np.int32(nh), self.hash_len,
+                nqt, cap, npos, self.w, self.qw_max, True,
+                self.off_bits, self.uniform_len)
+            words2, counts2, n_keep2, sup, fh = _cont_canon(
+                out, kc, n_keep, self.lengths, n1, self.off_bits)
+            nk = int(n_keep2)
+            packed = (self._fetch_packed([(words2, nk)])[0] if nk
+                      else np.zeros(0, np.uint32))
+            counts = np.asarray(counts2).astype(np.int64)
+            supers = np.asarray(sup).astype(np.int64)
+            firsthit = np.asarray(fh)
+        else:
+            cap, nqt, chunks = self._plan_chunks(chunk_cap=self.CHUNK_TARGET)
+            rk_pad, rleft_pad, rcnt_pad = self._padded(nqt)
+            outs = []
+            kc_total = None
+            for h0, nh in chunks:             # dispatch everything (async)
+                out, kc, n_keep = _emit2(
+                    self.packed2, self.lengths, rk_pad, rleft_pad, rcnt_pad,
+                    self.sid, np.int32(h0), np.int32(nh), self.hash_len,
+                    nqt, cap, npos, self.w, self.qw_max, False,
+                    self.off_bits, self.uniform_len, dedup=True)
+                outs.append((out, n_keep))
+                kc_total = kc if kc_total is None else kc_total + kc
+            bufs_nk = [(out, int(nk)) for out, nk in outs]
+            parts = self._fetch_packed(bufs_nk)
+            packed = (np.concatenate(parts) if parts
+                      else np.zeros(0, np.uint32))
+            counts = np.asarray(kc_total).astype(np.int64)
+            supers = None
+            firsthit = None
+        r2, meta = self._unpack_words(packed)
+        return counts, r2, meta, supers, firsthit
 
     def candidates(self, check_cont=True):
         """Back-compat view of stream(): (CandidateBatch, edge_orient,

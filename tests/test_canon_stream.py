@@ -86,3 +86,48 @@ def test_canon_stream_graph_identical(name):
             assert (va == vb).all(), "%s/%s values" % (name, key)
         else:
             assert va == vb, "%s/%s" % (name, key)
+
+
+@pytest.mark.parametrize("name", ["se_mixlen", "se_heap", "mix_ps"])
+def test_device_stream_canon(name):
+    """The pipeline's own canonical stream (containment resolved ON device,
+    ops/device_overlap._cont_canon) must agree record-for-record with the
+    host-side canonical filter over the full stream, and its supers with
+    the replay's containment pass."""
+    from metagenomics_tpu import native
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.ops.device_overlap import DeviceOverlapPipeline
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    pe, se = DATASETS[name]
+    pe = [os.path.join(GOLDEN, f) for f in pe]
+    se = [os.path.join(GOLDEN, f) for f in se]
+    ds = Dataset(pe, se, 40, log=_quiet)
+    mixed = ds.longest_read_length != ds.shortest_read_length
+
+    pipeline = DeviceOverlapPipeline(ds, 40)
+    counts, r2, meta = pipeline.stream(check_cont=mixed)
+    full = native.build_graph_stream(ds.lengths, counts, r2, meta, mixed, 10)
+    sup = full["supers"]
+
+    got = pipeline.stream_canon(check_cont=mixed)
+    assert got is not None
+    ccounts, cr2, cmeta, csup, cfh = got
+    if mixed:
+        assert (np.asarray(csup) == sup).all(), "device supers differ"
+    else:
+        assert csup is None
+
+    r1 = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    edge_ok = ((meta >> 2) & 1).astype(bool)
+    keep = (edge_ok & (r1 <= r2)
+            & (sup[r1] == 0) & (sup[np.asarray(r2, np.int64)] == 0))
+    want_counts = np.zeros(len(counts), np.int64)
+    np.add.at(want_counts, r1[keep], 1)
+    assert (ccounts == want_counts).all()
+    assert (cr2 == r2[keep]).all()
+    # flag bits are advisory on the canon path; orientation and offset
+    # fields must match exactly
+    assert ((cmeta & 3) == (meta[keep] & 3)).all()
+    assert ((cmeta >> 4) == (meta[keep] >> 4)).all()
