@@ -176,7 +176,8 @@ class BuildMixin:
             from .. import native
             if native.get_lib() is not None:
                 canon = pipeline.stream_canon(check_cont=mixed)
-                if canon is not None and self._build_from_canon(canon, mixed):
+                if canon is not None and self._build_from_canon(
+                        canon, mixed, pipeline.off_bits):
                     return
 
         counts, r2, meta = pipeline.stream(check_cont=mixed)
@@ -211,7 +212,7 @@ class BuildMixin:
         self._build_from_filtered(batch.r1[keep], batch.r2[keep],
                                   eo[keep], eoff[keep])
 
-    def _build_from_canon(self, canon, mixed):
+    def _build_from_canon(self, canon, mixed, off_bits):
         """Finish construction from the canonical device stream: the native
         replay reconstructs mirror occurrences (mg_build_stream_canon);
         containment was resolved ON DEVICE (ops/device_overlap._cont_canon),
@@ -219,10 +220,10 @@ class BuildMixin:
         False if the native replay is unavailable."""
         from .. import native
         ds = self.ds
-        counts, r2, meta, supers, firsthit = canon
-        res = native.build_graph_stream_canon(
-            ds.lengths, counts, r2, meta, self.cfg.hash_string_length,
-            self.cfg.dead_end_length)
+        counts, words, supers, firsthit = canon
+        res = native.build_graph_stream_canon_words(
+            ds.lengths, counts, words, off_bits,
+            self.cfg.hash_string_length, self.cfg.dead_end_length)
         if res is None:
             return False
         if mixed and supers is not None:

@@ -68,6 +68,11 @@ def get_lib():
             ctypes.c_int64, _I64P, _I64P,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.mg_build_stream_canon_words.restype = ctypes.c_void_p
+        lib.mg_build_stream_canon_words.argtypes = [
+            ctypes.c_int64, _I64P, _I64P,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
         lib.mg_supers.restype = None
         lib.mg_supers.argtypes = [ctypes.c_void_p, _I64P]
         for name in ("mg_num_edges", "mg_num_nodes", "mg_graph_num_edges",
@@ -182,6 +187,27 @@ def build_graph_stream_canon(lengths, counts, r2, meta, hash_len,
         r2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         len(r2), hash_len, dead_end_length, n_threads)
+    return _extract_result(lib, h, n_reads, want_supers=False)
+
+
+def build_graph_stream_canon_words(lengths, counts, words, off_bits,
+                                   hash_len, dead_end_length,
+                                   n_threads=None):
+    """build_graph_stream_canon over the device pipeline's packed uint32
+    words [r2 | flags:4 | offset:off_bits] — no host-side unpack."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    n_reads = len(lengths) - 1
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    h = lib.mg_build_stream_canon_words(
+        n_reads, _p64(lengths), _p64(counts),
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(words), off_bits, hash_len, dead_end_length, n_threads)
     return _extract_result(lib, h, n_reads, want_supers=False)
 
 

@@ -924,6 +924,157 @@ Result *construct_threaded(int64_t n_reads, const int64_t *lengths,
     return res;
 }
 
+
+// Record accessors for the two canonical stream encodings: the
+// (r2, meta) pair arrays of mg_build_stream, and the device pipeline's
+// packed uint32 words [r2 | flags:4 | offset:off_bits].
+struct CanonPairs {
+    const int32_t *r2s;
+    const uint16_t *metas;
+    inline int64_t r2(int64_t k) const { return r2s[k]; }
+    inline int64_t eo(int64_t k) const { return metas[k] & 3; }
+    inline int64_t off(int64_t k) const { return metas[k] >> 4; }
+};
+struct CanonWords {
+    const uint32_t *words;
+    int ob;
+    inline int64_t r2(int64_t k) const { return words[k] >> (4 + ob); }
+    inline int64_t eo(int64_t k) const { return (words[k] >> ob) & 3; }
+    inline int64_t off(int64_t k) const {
+        return words[k] & ((1u << ob) - 1);
+    }
+};
+
+template <class Rec>
+static void *canon_core(int64_t n_reads, const int64_t *lengths,
+                        const int64_t *counts, const Rec &rec,
+                        int64_t hash_len, int64_t dead_end_length, int nt) {
+    double t0 = now_s();
+    const int64_t l = hash_len;
+
+    // pass 1: per-read direct / mirror candidate counts
+    std::vector<int64_t> dcount(n_reads + 2, 0), mcount(n_reads + 2, 0);
+    {
+        int64_t k = 0;
+        for (int64_t r1 = 1; r1 <= n_reads; r1++) {
+            dcount[r1] = counts[r1];
+            for (int64_t e = k + counts[r1]; k < e; k++) {
+                const int64_t r2 = rec.r2(k);
+                if (r2 != r1) mcount[r2]++;
+            }
+        }
+    }
+    std::vector<int64_t> cstart(n_reads + 2, 0);
+    for (int64_t r = 1; r <= n_reads + 1; r++)
+        cstart[r] = cstart[r - 1] + dcount[r - 1] + mcount[r - 1];
+    const int64_t total = cstart[n_reads + 1];
+
+    // pass 2: fill (sort key, offset) — key packs the discovery order
+    // (j, partner, hash orientation) into one uint64 (j:12|dest:31|or:2),
+    // so a plain uint64 compare is the lexicographic order.  Direct
+    // entries land at [cstart[r], cstart[r]+dcount[r]) ALREADY in
+    // discovery order (the canonical stream is an order-preserving
+    // subsequence of each read's probe sequence); mirrors land after and
+    // are sorted, then the two sorted runs merge in place.  The two fill
+    // sides write disjoint slot ranges, so they run as two threads.
+    struct CanonEnt {
+        uint64_t key;
+        int32_t off;
+    };
+    std::vector<CanonEnt> ents(total);
+    auto pack = [](int64_t j, int64_t dest, int64_t orient, int64_t off) {
+        CanonEnt e;
+        e.key = ((uint64_t)j << 33) | ((uint64_t)dest << 2)
+                | (uint64_t)orient;
+        e.off = (int32_t)off;
+        return e;
+    };
+    auto fill_direct = [&]() {
+        int64_t k = 0;
+        for (int64_t r1 = 1; r1 <= n_reads; r1++) {
+            const int64_t len1 = lengths[r1];
+            CanonEnt *dst = ents.data() + cstart[r1];
+            for (int64_t e = k + counts[r1]; k < e; k++) {
+                const int64_t eo = rec.eo(k);
+                const int64_t off = rec.off(k);
+                const int64_t j1 = (eo >= 2) ? off : len1 - l - off;
+                *dst++ = pack(j1, rec.r2(k), eo, off);
+            }
+        }
+    };
+    auto fill_mirror = [&]() {
+        std::vector<int64_t> cur(n_reads + 1);
+        for (int64_t r = 1; r <= n_reads; r++)
+            cur[r] = cstart[r] + dcount[r];
+        int64_t k = 0;
+        for (int64_t r1 = 1; r1 <= n_reads; r1++) {
+            const int64_t len1 = lengths[r1];
+            for (int64_t e = k + counts[r1]; k < e; k++) {
+                const int64_t r2 = rec.r2(k);
+                if (r2 == r1) continue;       // self overlap: the mirror is
+                                              // its own stream record
+                const int64_t eo = rec.eo(k);
+                const int64_t off = rec.off(k);
+                const int64_t len2 = lengths[r2];
+                const int64_t teo = (eo == 0) ? 3 : (eo == 3) ? 0 : eo;
+                const int64_t off2 = len2 + off - len1;
+                const int64_t j2 = (teo >= 2) ? off2 : len2 - l - off2;
+                ents[cur[r2]++] = pack(j2, r1, teo, off2);
+            }
+        }
+    };
+    if (nt >= 2 && total > 1 << 16) {
+        std::thread th(fill_direct);
+        fill_mirror();
+        th.join();
+    } else {
+        fill_direct();
+        fill_mirror();
+    }
+
+    // pass 3: restore each read's discovery order (sort mirrors, merge)
+    // and split into the construction arrays — both threaded by read range
+    std::vector<int32_t> cdest(total);
+    std::vector<int8_t> corient(total);
+    std::vector<int32_t> coffset(total);
+    {
+        auto cmp = [](const CanonEnt &a, const CanonEnt &b) {
+            return a.key < b.key;
+        };
+        auto finish_range = [&](int64_t r_lo, int64_t r_hi) {
+            for (int64_t r = r_lo; r < r_hi; r++) {
+                auto base = ents.begin() + cstart[r];
+                auto mid = base + dcount[r];
+                auto end = ents.begin() + cstart[r + 1];
+                if (mid != end) {
+                    std::sort(mid, end, cmp);
+                    std::inplace_merge(base, mid, end, cmp);
+                }
+                for (int64_t k = cstart[r]; k < cstart[r + 1]; k++) {
+                    cdest[k] = (int32_t)((ents[k].key >> 2) & 0x7FFFFFFF);
+                    corient[k] = (int8_t)(ents[k].key & 3);
+                    coffset[k] = ents[k].off;
+                }
+            }
+        };
+        if (nt >= 2 && total > 1 << 16) {
+            int64_t mid = 1;
+            while (mid <= n_reads && cstart[mid] < total / 2) mid++;
+            std::thread th(finish_range, 1, mid);
+            finish_range(mid, n_reads + 1);
+            th.join();
+        } else {
+            finish_range(1, n_reads + 1);
+        }
+    }
+    ents.clear();
+    ents.shrink_to_fit();
+    PROF("canon-recon", t0);
+    return construct_threaded(n_reads, lengths, dead_end_length, nt,
+                              cstart, cdest, corient, coffset);
+}
+
+
 }  // namespace
 
 extern "C" {
@@ -1202,96 +1353,28 @@ void *mg_build_stream_canon(int64_t n_reads, const int64_t *lengths,
                             const uint16_t *metas, int64_t n_items,
                             int64_t hash_len, int64_t dead_end_length,
                             int64_t n_threads) {
-    double t0 = now_s();
+    (void)n_items;
     int nt = (int)n_threads;
     if (nt < 1) nt = 1;
-    const int64_t l = hash_len;
+    CanonPairs rec{r2s, metas};
+    return canon_core(n_reads, lengths, counts, rec, hash_len,
+                      dead_end_length, nt);
+}
 
-    // pass 1: per-read final candidate counts (direct + mirror)
-    std::vector<int64_t> cstart(n_reads + 2, 0);
-    {
-        int64_t k = 0;
-        for (int64_t r1 = 1; r1 <= n_reads; r1++)
-            for (int64_t e = k + counts[r1]; k < e; k++) {
-                cstart[r1 + 1]++;
-                if (r2s[k] != (int32_t)r1) cstart[(int64_t)r2s[k] + 1]++;
-            }
-        (void)n_items;
-    }
-    for (int64_t r = 1; r <= n_reads + 1; r++) cstart[r] += cstart[r - 1];
-    const int64_t total = cstart[n_reads + 1];
-
-    // pass 2: fill (sort key, offset) per read.  key packs the discovery
-    // order (j, partner, hash orientation) into one uint64:
-    // j:12 | dest:31 | orient:2 — a plain uint64 compare is the
-    // lexicographic order.
-    struct CanonEnt {
-        uint64_t key;
-        int32_t off;
-    };
-    std::vector<CanonEnt> ents(total);
-    std::vector<int64_t> cur(cstart.begin(), cstart.end() - 1);
-    {
-        auto pack = [](int64_t j, int64_t dest, int64_t orient, int64_t off) {
-            CanonEnt e;
-            e.key = ((uint64_t)j << 33) | ((uint64_t)dest << 2)
-                    | (uint64_t)orient;
-            e.off = (int32_t)off;
-            return e;
-        };
-        int64_t k = 0;
-        for (int64_t r1 = 1; r1 <= n_reads; r1++) {
-            const int64_t len1 = lengths[r1];
-            for (int64_t e = k + counts[r1]; k < e; k++) {
-                const int64_t r2 = r2s[k];
-                const int64_t eo = metas[k] & 3;
-                const int64_t off = metas[k] >> 4;
-                const int64_t j1 = (eo >= 2) ? off : len1 - l - off;
-                ents[cur[r1]++] = pack(j1, r2, eo, off);
-                if (r2 == r1) continue;           // self overlap: mirror is
-                                                  // its own stream record
-                const int64_t len2 = lengths[r2];
-                const int64_t teo = (eo == 0) ? 3 : (eo == 3) ? 0 : eo;
-                const int64_t off2 = len2 + off - len1;
-                const int64_t j2 = (teo >= 2) ? off2 : len2 - l - off2;
-                ents[cur[r2]++] = pack(j2, r1, teo, off2);
-            }
-        }
-    }
-    // pass 3: per-read discovery-order sort, split across threads (reads
-    // partition the entry ranges, so ranges are disjoint)
-    {
-        auto sort_range = [&](int64_t r_lo, int64_t r_hi) {
-            for (int64_t r = r_lo; r < r_hi; r++)
-                std::sort(ents.begin() + cstart[r],
-                          ents.begin() + cstart[r + 1],
-                          [](const CanonEnt &a, const CanonEnt &b) {
-                              return a.key < b.key;
-                          });
-        };
-        if (nt >= 2 && total > 1 << 16) {
-            int64_t mid = 1;
-            while (mid <= n_reads && cstart[mid] < total / 2) mid++;
-            std::thread th(sort_range, 1, mid);
-            sort_range(mid, n_reads + 1);
-            th.join();
-        } else {
-            sort_range(1, n_reads + 1);
-        }
-    }
-    std::vector<int32_t> cdest(total);
-    std::vector<int8_t> corient(total);
-    std::vector<int32_t> coffset(total);
-    for (int64_t k = 0; k < total; k++) {
-        cdest[k] = (int32_t)((ents[k].key >> 2) & 0x7FFFFFFF);
-        corient[k] = (int8_t)(ents[k].key & 3);
-        coffset[k] = ents[k].off;
-    }
-    ents.clear();
-    ents.shrink_to_fit();
-    PROF("canon-recon", t0);
-    return construct_threaded(n_reads, lengths, dead_end_length, nt,
-                              cstart, cdest, corient, coffset);
+// Same replay over the device pipeline's packed uint32 words
+// [r2 | flags:4 | offset:off_bits] — skips the host-side unpack entirely.
+void *mg_build_stream_canon_words(int64_t n_reads, const int64_t *lengths,
+                                  const int64_t *counts,
+                                  const uint32_t *words, int64_t n_items,
+                                  int64_t off_bits, int64_t hash_len,
+                                  int64_t dead_end_length,
+                                  int64_t n_threads) {
+    (void)n_items;
+    int nt = (int)n_threads;
+    if (nt < 1) nt = 1;
+    CanonWords rec{words, (int)off_bits};
+    return canon_core(n_reads, lengths, counts, rec, hash_len,
+                      dead_end_length, nt);
 }
 
 void mg_supers(void *h, int64_t *out) {

@@ -113,7 +113,8 @@ def test_device_stream_canon(name):
 
     got = pipeline.stream_canon(check_cont=mixed)
     assert got is not None
-    ccounts, cr2, cmeta, csup, cfh = got
+    ccounts, cwords, csup, cfh = got
+    cr2, cmeta = pipeline._unpack_words(cwords)
     if mixed:
         assert (np.asarray(csup) == sup).all(), "device supers differ"
     else:
