@@ -191,34 +191,46 @@ def _extract_words(rows, s, w, qw_max):
 
 
 def _verify_pairs(packed2, len1, len2, r1, j, r2, orient, hash_len, w,
-                  qw_max, check_cont):
+                  qw_max, check_cont, rev_lmax=None):
     """Exact packed-word verification of candidate pairs: gathers the two
-    packed rows from the combined fwd+rev matrix, then _verify_windows."""
+    packed rows from the combined fwd+rev matrix, then _verify_windows.
+
+    rev_lmax selects the reverse-half layout: None means true
+    reverse-complement rows (data at columns [0, len)); an integer means
+    the FLIPPED-PADDED layout (3 - fwd[:, ::-1]: data at columns
+    [lmax - len, lmax)) whose window starts shift by lmax - len2 — the
+    flip avoids the per-row roll gather of _rc_codes on the setup path."""
     nrows = packed2.shape[0] // 2
     rows1 = packed2[r1]
-    rows2 = packed2[jnp.where(orient <= 1, r2, r2 + nrows)]
+    is_rev = orient > 1
+    rows2 = packed2[jnp.where(is_rev, r2 + nrows, r2)]
+    rev_shift = (None if rev_lmax is None
+                 else jnp.where(is_rev, rev_lmax - len2, 0))
     return _verify_windows(rows1, rows2, len1, len2, j, orient, hash_len,
-                           w, qw_max, check_cont)
+                           w, qw_max, check_cont, rev_shift)
 
 
 def _verify_windows(rows1, rows2, len1, len2, j, orient, hash_len, w,
-                    qw_max, check_cont):
+                    qw_max, check_cont, rev_shift=None):
     """Exact packed-word verification of candidate pairs.
 
     rows1/rows2 are the candidates' pre-fetched packed rows (rows2 already
-    strand-resolved); the rest are per-candidate vectors.  Returns
-    (edge_ok, cont_ok, eo, eoff).  Edge mode replicates checkOverlap
-    (OverlapGraph.cpp:354-383, seed included so hash collisions are
-    rejected); containment mode replicates checkOverlapForContainedRead
-    (:302-340); orientation/offset derivation follows
-    OverlapGraph.cpp:550-557."""
+    strand-resolved); the rest are per-candidate vectors.  rev_shift, when
+    given, is added to every rows2 window start (the flipped-padded
+    reverse layout of _verify_pairs).  Returns (edge_ok, cont_ok, eo,
+    eoff).  Edge mode replicates checkOverlap (OverlapGraph.cpp:354-383,
+    seed included so hash collisions are rejected); containment mode
+    replicates checkOverlapForContainedRead (:302-340); orientation/offset
+    derivation follows OverlapGraph.cpp:550-557."""
     l = hash_len
     is_pre = (orient == 0) | (orient == 2)
     wk16 = 16 * jnp.arange(w, dtype=jnp.int32)[None, :]
+    if rev_shift is None:
+        rev_shift = jnp.int32(0)
 
     def windows_equal(s1, s2, m):
         x = (_extract_words(rows1, s1, w, qw_max)
-             ^ _extract_words(rows2, s2, w, qw_max))
+             ^ _extract_words(rows2, s2 + rev_shift, w, qw_max))
         nb = jnp.clip(m[:, None] - wk16, 0, 16)
         mask = jnp.where(
             nb >= 16, jnp.uint32(0xFFFFFFFF),
@@ -309,25 +321,36 @@ def _setup_kernel(pf, lengths, hash_len, w, wp, lmax, use_pallas):
     pack_codes_host and _pack_codes_device produce identical layouts, so
     pf doubles as the forward half of the verification row store."""
     codes_fwd = _unpack_codes(pf, lmax)
-    codes_rev = _rc_codes(codes_fwd, lengths)
-    pr = _pack_codes_device(codes_rev, w)
+    # reverse strand in FLIPPED-PADDED layout: 3 - fwd[:, ::-1] IS the
+    # reverse complement, shifted right so row data occupies columns
+    # [lmax - len, lmax).  A static flip replaces the per-row roll gather
+    # of _rc_codes (~18M gathered elements, the whole setup cost on TPU);
+    # verification compensates by adding lmax - len2 to reverse-row window
+    # starts (_verify_pairs rev_lmax) and the reverse hash keys read at
+    # shifted columns below.  Front padding flips to 3s, which no in-range
+    # window ever reads.
+    flipped = (3 - codes_fwd[:, ::-1]).astype(jnp.uint8)
+    pr = _pack_codes_device(flipped, w)
     pad = ((0, 0), (0, wp - w))
     packed2 = jnp.concatenate([jnp.pad(pf, pad), jnp.pad(pr, pad)], axis=0)
 
     if use_pallas:
         from .pallas_hash import window_hashes_pallas
         hf = window_hashes_pallas(codes_fwd, hash_len)
-        hr = window_hashes_pallas(codes_rev, hash_len)
+        hr = window_hashes_pallas(flipped, hash_len)
     else:
         hf = window_hashes_u32(codes_fwd, hash_len)
-        hr = window_hashes_u32(codes_rev, hash_len)
+        hr = window_hashes_u32(flipped, hash_len)
 
     n = hf.shape[0] - 1                      # row 0 is the unused dummy
     suf = (lengths[1:] - hash_len).astype(jnp.int32)
     k0 = hf[1:, 0]
     k1 = jnp.take_along_axis(hf[1:], suf[:, None], axis=1)[:, 0]
-    k2 = hr[1:, 0]
-    k3 = jnp.take_along_axis(hr[1:], suf[:, None], axis=1)[:, 0]
+    # flipped layout: the RC prefix window sits at column lmax - len, the
+    # RC suffix window at the (static) last column lmax - hash_len
+    k2 = jnp.take_along_axis(hr[1:], (lmax - lengths[1:])[:, None]
+                             .astype(jnp.int32), axis=1)[:, 0]
+    k3 = hr[1:, lmax - hash_len]
     keys = jnp.stack([k0, k1, k2, k3], axis=1).reshape(-1)
     rid = jnp.repeat(jnp.arange(1, n + 1, dtype=jnp.uint32), 4)
     orient = jnp.tile(jnp.arange(4, dtype=jnp.uint32), n)
@@ -460,7 +483,7 @@ def _emit2(packed2, lengths, rk_pad, rleft_pad, rcnt_pad, sid, h0, nh_real,
 
     edge_ok, cont_ok, eo, eoff = _verify_pairs(
         packed2, len1, len2, r1c, j, r2, orient, hash_len, w, qw_max,
-        check_cont)
+        check_cont, rev_lmax=npos + hash_len - 1)
     if dedup:
         # canonical-dedup mode (uniform lengths, no containment): keep each
         # overlap's smaller-endpoint occurrence only; the native replay
