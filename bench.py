@@ -426,7 +426,8 @@ def measure_device_subprocess():
 
 def run_device_measurement():
     """Child-process body: device pipeline on whatever backend JAX picks
-    (TPU when present).  Emits one JSON line with the phase breakdown."""
+    (TPU when present).  Emits one JSON line with the phase breakdown and
+    per-phase link/bandwidth utilization (VERDICT r4 item 2)."""
     import jax
     os.makedirs(JAX_CACHE, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", JAX_CACHE)
@@ -445,21 +446,200 @@ def run_device_measurement():
         t0 = time.time()
         pipeline = DeviceOverlapPipeline(ds, MIN_OVERLAP)
         t1 = time.time()
-        counts, r2, meta = pipeline.stream(check_cont=False)
+        canon = pipeline.stream_canon(check_cont=False)
         t2 = time.time()
-        res = native.build_graph_stream(ds.lengths, counts, r2, meta,
-                                        False, cfg.dead_end_length)
-        ds.super_read_id[:] = res["supers"]
+        counts, words, _sup, _fh = canon
+        res = native.build_graph_stream_canon_words(
+            ds.lengths, counts, words, pipeline.off_bits,
+            MIN_OVERLAP - 1, cfg.dead_end_length)
         graph._load_native_result(res)
         t3 = time.time()
         return {"total": t3 - t0, "index": t1 - t0, "stream": t2 - t1,
-                "build": t3 - t2}
+                "build": t3 - t2, "canon_records": len(words)}
 
     def run_device_only():
         t0 = time.time()
         pipeline = DeviceOverlapPipeline(ds, MIN_OVERLAP)
         pipeline.stream(check_cont=False, download=False)
         return time.time() - t0
+
+    def utilization():
+        """Per-phase device accounting (VERDICT r4 item 2): stage times
+        with explicit sync points, the MINIMUM data volume each stage must
+        move, the implied achieved bandwidth (a lower bound — sorts make
+        multiple passes), and % of the chip's HBM roofline.  For the
+        transfer stages the comparison is the LINK's own measured peak, so
+        the table separates "device is slow" from "the link is slow"."""
+        import numpy as np
+        import jax.numpy as jnp
+        from metagenomics_tpu.ops import device_overlap as dov
+
+        HBM_PEAK_GBPS = 819.0          # TPU v5e HBM bandwidth
+        u = {}
+
+        # link microbenchmarks (fresh buffers, device-computed for D2H)
+        k = jax.jit(lambda x: x * 2 + 1)
+        d = k(jnp.ones(((8 << 20) // 4,), jnp.float32))
+        np.asarray(d)
+        ts = []
+        for _ in range(3):
+            d = k(d)
+            t0 = time.time()
+            np.asarray(d)
+            ts.append(time.time() - t0)
+        u["link_d2h_MBps"] = round(8 / min(ts), 1)
+        a = np.ones((8 << 20) // 4, np.float32)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            jnp.asarray(a).block_until_ready()
+            ts.append(time.time() - t0)
+        u["link_h2d_MBps"] = round(8 / min(ts), 1)
+        x = jnp.ones((8,), jnp.float32)
+        f = jax.jit(lambda a: a + 1)
+        np.asarray(f(x))
+        ts = []
+        for _ in range(6):
+            t0 = time.time()
+            np.asarray(f(x))
+            ts.append(time.time() - t0)
+        u["dispatch_roundtrip_ms"] = round(1e3 * min(ts), 2)
+
+        def sync(arr):
+            np.asarray(arr.ravel()[:1])
+
+        def best_of(fn, k=3):
+            """Best-of-k stage time: the tunnel's dispatch latency is
+            bursty, the minimum is the real stage speed."""
+            times = []
+            out = None
+            for _ in range(k):
+                t0 = time.time()
+                out = fn()
+                times.append(time.time() - t0)
+            return min(times), out
+
+        phases = {}
+        t_pack, pf_host = best_of(lambda: dov.pack_codes_host(ds.codes_fwd))
+        phases["host_pack"] = {"s": round(t_pack, 4),
+                               "MB": round(pf_host.nbytes / 1e6, 1)}
+        lengths = jnp.asarray(ds.lengths.astype(np.int32))
+
+        def upload():
+            d = jnp.asarray(pf_host)
+            d.block_until_ready()
+            return d
+        t_up, pf = best_of(upload)
+        phases["h2d_upload"] = {
+            "s": round(t_up, 4), "MB": round(pf_host.nbytes / 1e6, 1),
+            "MBps": round(pf_host.nbytes / 1e6 / t_up, 1),
+            "pct_link_peak": round(100 * pf_host.nbytes / 1e6 / t_up
+                                   / max(u["link_h2d_MBps"], 1e-9), 1)}
+
+        p = DeviceOverlapPipeline.__new__(DeviceOverlapPipeline)
+        p.ds = ds
+        p.hash_len = MIN_OVERLAP - 1
+        lmax = ds.codes_fwd.shape[1]
+        p.lmax = lmax
+        p.w = (lmax + 15) // 16
+        p.qw_max = (lmax - p.hash_len) >> 4
+        p.wp = p.qw_max + p.w + 1
+        n1 = ds.codes_fwd.shape[0]
+        p.npos = lmax - p.hash_len + 1
+        p.lengths = lengths
+        use_pallas = jax.default_backend() == "tpu"
+
+        def setup():
+            r = dov._setup_kernel(pf, lengths, p.hash_len, p.w, p.wp,
+                                  lmax, use_pallas)
+            sync(r[3])
+            return r
+        t_set, (p.packed2, p.hf, p.sk, p.sid) = best_of(setup)
+        # minimum traffic: read packed (5MB), write codes+flip (2x18MB),
+        # write packed2 (2x wp words), write 2 hash matrices (2x n*npos*4),
+        # read them for key extraction, index sort in+out (0.78M x 8B)
+        hash_mb = 2 * n1 * p.npos * 4 / 1e6
+        vol_set = (pf_host.nbytes / 1e6 + 2 * n1 * lmax * 2 / 1e6
+                   + 2 * n1 * p.wp * 4 / 1e6 + 2 * hash_mb
+                   + 2 * 4 * (n1 - 1) * 8 / 1e6)
+        phases["setup_kernel"] = {
+            "s": round(t_set, 4), "min_MB": round(vol_set, 1),
+            "GBps_lower_bound": round(vol_set / 1e3 / t_set, 1),
+            "pct_hbm_peak": round(100 * vol_set / 1e3 / t_set
+                                  / HBM_PEAK_GBPS, 1)}
+
+        m = int(p.sk.shape[0])
+        sum_block = 1 << max(3, min(12, (1 << 31).bit_length()
+                                    - max(m, 1).bit_length() - 2))
+
+        def probe():
+            r = dov._probe_join(p.hf, lengths, p.sk, p.hash_len, sum_block)
+            sync(r[2])
+            return r
+        t_probe, (p.rk, p.rleft, p.rcnt, h_total, parts) = best_of(probe)
+        nq = n1 * p.npos + m
+        # two stable sorts over (key,payload) pairs of all queries + index
+        vol_probe = 2 * 2 * nq * 8 / 1e6
+        phases["probe_join"] = {
+            "s": round(t_probe, 4), "queries": n1 * p.npos,
+            "min_MB": round(vol_probe, 1),
+            "GBps_lower_bound": round(vol_probe / 1e3 / t_probe, 1),
+            "pct_hbm_peak": round(100 * vol_probe / 1e3 / t_probe
+                                  / HBM_PEAK_GBPS, 1)}
+        p.h_total = int(h_total)
+        p.grand = int(np.asarray(parts).sum(dtype=np.int64))
+        nn = n1 - 1
+        bits_r2 = max(1, nn.bit_length())
+        bits_off = max(1, (lmax - MIN_OVERLAP + 1).bit_length())
+        p.off_bits = bits_off if bits_r2 + 4 + bits_off <= 32 else -1
+        lens = ds.lengths[1:]
+        p.uniform_len = (int(lens[0])
+                         if len(lens) and (lens == lens[0]).all() else -1)
+
+        cap, nqt, chunks = p._plan_chunks()
+        rk_pad, rleft_pad, rcnt_pad = p._padded(nqt)
+        h0, nh = chunks[0]
+
+        def emit():
+            r = dov._emit2(
+                p.packed2, lengths, rk_pad, rleft_pad, rcnt_pad, p.sid,
+                np.int32(h0), np.int32(nh), p.hash_len, nqt, cap, p.npos,
+                p.w, p.qw_max, False, p.off_bits, p.uniform_len, dedup=True)
+            return r + (int(r[2]),)
+        t_emit, (out, kc, n_keep, nk) = best_of(emit)
+        # expansion scatter+scan (cap x 4B x ~4 arrays), candidate gathers
+        # (bucket geometry + id + entry: 3 x cap x 4B), verification row
+        # gathers (2 x cap x wp x 4B), final sort in+out (2 x cap x 8B)
+        vol_emit = (4 * cap * 4 + 3 * cap * 4 + 2 * cap * p.wp * 4
+                    + 2 * cap * 8 * 2) / 1e6
+        phases["emit_verify"] = {
+            "s": round(t_emit, 4), "candidates": p.grand,
+            "survivors": nk, "min_MB": round(vol_emit, 1),
+            "GBps_lower_bound": round(vol_emit / 1e3 / t_emit, 1),
+            "pct_hbm_peak": round(100 * vol_emit / 1e3 / t_emit
+                                  / HBM_PEAK_GBPS, 1)}
+
+        t_fetch, parts2 = best_of(lambda: p._fetch_packed([(out, nk)]))
+        mb = parts2[0].nbytes / 1e6
+        phases["d2h_fetch"] = {
+            "s": round(t_fetch, 4), "MB": round(mb, 1),
+            "MBps": round(mb / t_fetch, 1),
+            "pct_link_peak": round(100 * mb / t_fetch
+                                   / max(u["link_d2h_MBps"], 1e-9), 1)}
+        counts = np.asarray(kc).astype(np.int64)
+        t_build, _ = best_of(lambda: native.build_graph_stream_canon_words(
+            ds.lengths, counts, parts2[0], p.off_bits, MIN_OVERLAP - 1,
+            cfg.dead_end_length), k=2)
+        phases["host_replay"] = {
+            "s": round(t_build, 4), "records": nk,
+            "Mrec_per_s": round(nk / 1e6 / t_build, 1)}
+        u["phases"] = phases
+        u["hbm_peak_GBps"] = HBM_PEAK_GBPS
+        u["note"] = ("min_MB is the stage's minimum data volume; "
+                     "GBps_lower_bound = min_MB/time, a floor on achieved "
+                     "HBM bandwidth (sorts make multiple passes). Transfer "
+                     "stages compare against the measured LINK peak.")
+        return u
 
     run_once()                      # warm-up (compiles cache to JAX_CACHE)
     run_device_only()
@@ -468,6 +648,11 @@ def run_device_measurement():
     # best of 6: the tunneled link's dispatch latency is bursty; the
     # minimum is the real device speed
     dev = min(run_device_only() for _ in range(6))
+    util = None
+    try:
+        util = utilization()
+    except Exception:
+        pass
     n = ds.number_of_unique_reads
 
     # on-TPU Pallas regression check: the tile-kernel window hashes must be
@@ -498,7 +683,9 @@ def run_device_measurement():
         "reads_per_s": round(n / best["total"], 1),
         "device_compute_reads_per_s": round(n / dev, 1),
         "pallas_bit_identical": pallas_identical,
-        "phases_s": {k: round(v, 3) for k, v in best.items()},
+        "phases_s": {k: (round(v, 3) if isinstance(v, float) else v)
+                     for k, v in best.items()},
+        "utilization": util,
     }))
 
 
