@@ -47,6 +47,10 @@ def parse_arguments(argv):
             cfg.min_overlap = int(argv[i])
         elif a == "-s":
             cfg.resume_from_unitig = True
+        elif a == "--clean-flow":
+            # new-framework option: license-clean SSP flow solver instead
+            # of the CS2-trajectory replay (see config.AssemblerConfig)
+            cfg.clean_flow = True
         elif a in ("-h", "--help"):
             sys.stderr.write(_USAGE)
             raise SystemExit(0)
@@ -77,7 +81,7 @@ def main(argv=None):
     from .parallel.launcher import initialize_distributed
     initialize_distributed()
     cfg = parse_arguments(argv)
-    from .errors import MyExit, report_my_exit
+    from .errors import FlowInfeasibleError, MyExit, report_my_exit
     try:
         Assembler(cfg).run()
     except MyExit as exc:
@@ -85,6 +89,11 @@ def main(argv=None):
         # print the block and exit 0, never a traceback
         report_my_exit(exc)
         raise SystemExit(0)
+    except FlowInfeasibleError as exc:
+        # CS2 "Error <n>" stderr parity (cs2.h:346); the typed error stays
+        # catchable for library embedders (ADVICE r4)
+        sys.stderr.write("\nError %d\n" % exc.code)
+        raise SystemExit(exc.code)
     clock_stop("main", clk)
 
 

@@ -62,6 +62,13 @@ class AssemblerConfig:
     coverage_depth_ub: int = 100
 
     # --- New-framework options (no reference equivalent) ---
+    # clean_flow: solve the flow phase with the clean-room SSP solver
+    # (mincostflow.py / mg_mincostflow) instead of the CS2-trajectory
+    # replay.  Flows are exact optima of the same instance, but the
+    # _flow.output line order and the selection among equal-cost optima are
+    # this solver's own, so downstream artifacts need not byte-match a
+    # reference run.  See LICENSES.md for why this mode exists.
+    clean_flow: bool = False
     use_native_build: bool = True      # C++ construction engine when available
     overlap_engine: str = "auto"       # auto | native | device | sharded | host
     mesh: object = None                # jax.sharding.Mesh for the sharded

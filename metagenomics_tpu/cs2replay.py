@@ -1,26 +1,41 @@
-"""Trajectory-faithful successive-approximation min-cost-flow solver.
+"""Trajectory-faithful port of the reference's CS2 4.6 min-cost-flow solver.
 
-This is a re-implementation of Goldberg's epsilon-scaling push-relabel
-("An Efficient Implementation of a Scaling Minimum-Cost Flow Algorithm",
-J. Algorithms 22, 1997) matching the operational behaviour of the CS2 4.6
-solver bundled with the reference (MetaGenomics/CS2/cs2.h, parser_cs2.h):
-same scaling schedule (SCALE_DEFAULT 12), same refine/discharge/relabel
-order, bucket-based price updates, price_refine DFS, and the price_in /
-price_out arc-suspension EXCHANGEs that permute arc records in place.  The
-aim is byte-identical `_flow.output` artifacts: the *printed slot order*
-and the *selection among alternate optima* both depend on this exact
-trajectory, not just on the instance (VERDICT r3 item 3).
+PROVENANCE — read this before touching the file.  This module is a
+routine-by-routine Python port of the CS2 4.6 solver bundled with the
+reference (MetaGenomics/CS2/cs2.h, parser_cs2.h): the epsilon-scaling
+schedule (SCALE_DEFAULT 12), refine/discharge/relabel control flow,
+bucket-based price updates (up_node_scan/price_update), the price_refine
+WHITE/GREY/BLACK DFS, the price_in/price_out arc-suspension EXCHANGE
+mechanics (including the TIME_FOR_PRICE_IN stepping), the parser's
+grouped-by-tail arc slot ordering, and the solution print walk all mirror
+cs2.h's implementation, down to internal names (n_bad_pricein, flag_updt,
+excq_first, ...) that come from cs2.h rather than from Goldberg's 1997
+paper.  The data layout differs (parallel Python lists instead of C
+structs) but this is a derivation of cs2.h, NOT a clean-room
+implementation, and earlier revisions of this docstring that claimed
+otherwise were wrong.
 
-The reference talks to CS2 through DIMACS files (OverlapGraph.cpp:1527-1547);
-here the instance arrives in memory as (tail, head, low, cap, cost) tuples
-and the printed triples are returned as strings.  The exact SSP solver in
-mincostflow.py stays as the independent cross-check oracle (tests assert
-both produce the same per-edge flow totals and objective).
+WHY a port exists at all: the assembler's byte-parity goal covers
+`_flow.output`, whose line order and choice among equal-cost optima are
+trajectory artifacts of CS2's exact operation sequence.  Goldberg's paper
+underspecifies those mechanics (heuristic scheduling, arc suspension,
+print order), so byte parity is only achievable by mirroring the
+implementation.  This module is therefore confined to the PARITY surface:
+reproducing what the reference binary emits.
 
-No CS2 code is copied: data is held in parallel Python lists and every
-routine is written from the algorithm's published description plus
-black-box behavioural study; variable naming follows the paper's
-terminology.
+LICENSE: cs2.h is distributed under an evaluation-only notice
+("COPYRIGHT C 1995 IG Systems, Inc. ... for evaluation only",
+MetaGenomics/CS2/cs2.h:3-4).  As a derived work, this module inherits that
+risk; see LICENSES.md for the project's posture.  The license-clean exact
+solver lives in mincostflow.py (+ native mg_mincostflow): it solves the
+identical instances optimally, cross-checks every replay solve in the
+tests, and is the production path whenever byte parity with a reference
+run is not demanded (CLI `--clean-flow`, config.clean_flow).
+
+The reference talks to CS2 through DIMACS files
+(OverlapGraph.cpp:1527-1547); here the instance arrives in memory as
+(tail, head, low, cap, cost) tuples and the printed triples are returned
+as strings.
 """
 
 import math

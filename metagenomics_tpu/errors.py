@@ -18,6 +18,18 @@ class MyExit(Exception):
     """Fatal assembler diagnostic (MYEXIT parity, Common.h:47)."""
 
 
+class FlowInfeasibleError(Exception):
+    """The min-cost-flow instance has no feasible circulation (e.g. an
+    empty graph leaves the lb=1 return arc unroutable).  `.code` is the
+    CS2-compatible exit code (cs2.h:346); the CLI renders "Error <n>" on
+    stderr and exits with it, while library embedders of Assembler.run can
+    catch this instead of a process-killing SystemExit (ADVICE r4)."""
+
+    def __init__(self, code=2):
+        super().__init__("Error %d" % code)
+        self.code = code
+
+
 def report_my_exit(exc: MyExit, out=None) -> None:
     """Print the MYEXIT block for `exc` using its raise site."""
     out = out or sys.stdout

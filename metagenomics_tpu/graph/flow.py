@@ -89,18 +89,34 @@ class FlowMixin:
         with open(input_path, "w") as f:
             f.write("".join(lines))
 
-        self.log("Calling CS2")
-        try:
-            triples, _ = solve_cs2(v, arcs)
-        except CS2Error as exc:
-            # infeasible circulation (e.g. an empty graph leaves the lb=1
-            # return arc with no residual path).  CS2 prints "Error <n>" to
-            # stderr and exits with that code (cs2.h:346); match it instead
-            # of tracebacking.
-            import sys
-            sys.stderr.write("\nError %d\n" % exc.code)
-            raise SystemExit(exc.code)
-        self.log("CS2 finished")
+        if getattr(self.cfg, "clean_flow", False):
+            # license-clean mode: exact SSP solve of the same instance;
+            # nonzero flows printed in instance arc order (our own
+            # deterministic format — byte-parity with a CS2 run is
+            # explicitly not a goal here, see LICENSES.md)
+            from ..errors import FlowInfeasibleError
+            from ..mincostflow import solve_min_cost_flow
+            self.log("Calling clean min-cost-flow solver")
+            try:
+                flows = solve_min_cost_flow(v, arcs)
+            except ValueError:
+                raise FlowInfeasibleError(2)
+            triples = [(a[0], a[1], fl)
+                       for a, fl in zip(arcs, flows) if fl != 0]
+            self.log("Min-cost-flow solve finished")
+        else:
+            self.log("Calling CS2")
+            try:
+                triples, _ = solve_cs2(v, arcs)
+            except CS2Error as exc:
+                # infeasible circulation (e.g. an empty graph leaves the
+                # lb=1 return arc with no residual path).  CS2 prints
+                # "Error <n>" to stderr and exits with that code
+                # (cs2.h:346); raise the typed error — the CLI renders it
+                # (ADVICE r4: library embedders can catch it).
+                from ..errors import FlowInfeasibleError
+                raise FlowInfeasibleError(exc.code)
+            self.log("CS2 finished")
 
         with open(output_path, "w") as f:
             for tail, head, fl in triples:
