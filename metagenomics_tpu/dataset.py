@@ -699,13 +699,18 @@ class Dataset:
 
         def flush(pend):
             nonlocal good, bad, pairs_done
-            g, b = self._store_mate_pair_chunk(pend, dataset_number)
+            g, b, okpair = self._store_mate_pair_chunk(pend, dataset_number)
             # per-1e6-read heartbeats (Dataset.cpp:228-231): reads move in
             # steps of 2, so boundaries are the pair indices divisible by
-            # 500000 inside this chunk
+            # 500000 inside this chunk; the good/bad split at the EXACT
+            # boundary pair comes from the chunk's per-pair mask
             lo, hi = pairs_done + 1, pairs_done + len(pend)
-            for p in range((lo + 499999) // 500000 * 500000, hi + 1, 500000):
-                heartbeats.append(2 * p)
+            bs = range((lo + 499999) // 500000 * 500000, hi + 1, 500000)
+            if len(bs):
+                cum = np.cumsum(okpair)
+                for p in bs:
+                    heartbeats.append(
+                        (2 * p, good + 2 * int(cum[p - pairs_done - 1])))
             pairs_done += len(pend)
             good += g
             bad += b
@@ -738,13 +743,16 @@ class Dataset:
                 def orig(j, os_=os_, ls=ls):
                     return arr0[os_[j]:os_[j] + ls[j]].tobytes()
 
-                g, b = self._store_mate_pair_chunk_arrays(
+                g, b, okpair = self._store_mate_pair_chunk_arrays(
                     ascii_arr, ls, orig, dataset_number)
                 lo = pairs_done + 1
                 hi = pairs_done + (e - s) // 2
-                for p in range((lo + 499999) // 500000 * 500000, hi + 1,
-                               500000):
-                    heartbeats.append(2 * p)
+                bs = range((lo + 499999) // 500000 * 500000, hi + 1, 500000)
+                if len(bs):
+                    cum = np.cumsum(okpair)
+                    for p in bs:
+                        heartbeats.append(
+                            (2 * p, good + 2 * int(cum[p - pairs_done - 1])))
                 pairs_done += (e - s) // 2
                 good += g
                 bad += b
@@ -762,14 +770,14 @@ class Dataset:
                     pend = []
             if pend:
                 flush(pend)
-        for hb in heartbeats:
+        for hb, g_at in heartbeats:
             if hb < 2 * pairs_done:
-                # good/bad at the boundary requires per-pair accounting the
-                # vectorized path does not keep; golden inputs stay far
-                # below 1e6 reads so this prints the final split
+                # exact boundary-time split (Dataset.cpp:228-231: the check
+                # runs at the top of each pair iteration, so the printed
+                # good/bad are the counts over the first hb/2 pairs)
                 self.log("%10d reads processed in store mate-pair "
                          "information.%10d reads in good mate-pairs.%10d "
-                         "reads in bad mate-pairs." % (hb, good, bad))
+                         "reads in bad mate-pairs." % (hb, g_at, hb - g_at))
         self.log("")
         self.log("Dataset: %2d" % dataset_number)
         self.log("File name: %s" % path)
@@ -811,7 +819,7 @@ class Dataset:
         good = 2 * int(okpair.sum())
         bad = m2 - good
         if not good:
-            return good, bad
+            return good, bad, okpair
         sel = np.repeat(okpair, 2)
         canon, flipped = packing.canonicalize_codes_np(codes[sel], lens[sel])
         limbs = packing.pack_sort_limbs(canon, lens[sel])
@@ -858,7 +866,7 @@ class Dataset:
         ors[0::2] = o1a * 2 + o2a
         ors[1::2] = o1a + o2a * 2
         self._mp_pending.append((rids, mates, ors, dataset_number))
-        return good, bad
+        return good, bad, okpair
 
     def _batch_find_ids(self, q):
         """Vectorized lexicographic lookup of query limb rows in the sorted

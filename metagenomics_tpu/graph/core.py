@@ -130,6 +130,21 @@ class GraphCore:
         # push in the reference's `delete` order (twin first in removeEdge,
         # OverlapGraph.cpp:863-896; twins then edges in
         # removeTransitiveEdges, :623-661).
+        # Allocator assumptions baked into the model (ADVICE r4: recorded
+        # so future mismatches are diagnosable) — validated against the
+        # golden reference binary (golden/README_binaries.md) built on
+        # glibc 2.3x defaults:
+        #   * sizeof(Edge) == 88 -> 96-byte malloc size class (chunk
+        #     header 8/16 + 16-byte alignment), shared with 81..96-char
+        #     std::string buffers;
+        #   * TCACHE_FILL_COUNT == 7 (tcache_count default);
+        #   * tcache miss refills from the fastbin head, reversing chunk
+        #     order (malloc.c tcache refill loop);
+        #   * malloc_consolidate (triggered by >= 64 KiB frees, e.g. the
+        #     flow phase's scratch) drains fastbins but not the tcache.
+        # A reference built with a different allocator, tcache depth, or
+        # Edge layout would make different pointer tie-breaks; twin
+        # selection is allocator-environment-specific by construction.
         self._addr_free = []      # tcache: bounded LIFO (7 entries)
         self._addr_fast = []      # fastbin spillover: unbounded LIFO
         self._addr_next = 0
@@ -186,19 +201,51 @@ class GraphCore:
             ev.append(node)
 
     def _dirty_nodes(self, key):
-        """Ascending node ids pass `key` must scan this sweep: all nonempty
-        nodes on its first sweep, afterwards only nodes touched since its
-        previous sweep.  The cursor advances BEFORE scanning, so mutations
-        made during the sweep are revisited next sweep (exactly when the
-        reference's full rescan would find them)."""
+        """Ascending node ids pass `key` must scan this sweep: all nodes on
+        its first sweep, afterwards only nodes touched since its previous
+        sweep — PLUS, in both cases, nodes touched DURING the sweep that
+        lie ahead of the scan position (the reference's full ascending
+        rescan reaches those later in the same sweep; deferring them to the
+        next sweep could reorder merges and shift per-iteration counters —
+        ADVICE r4).  Nodes touched at or behind the scan position land in
+        the next sweep, exactly when the reference's next rescan sees them.
+        The nonempty check happens at ARRIVAL time, like the reference's
+        live `adj[i]` reads, not at sweep start."""
+        import heapq
         if self._events is None:
             self._events = []
+        ev = self._events
         cur = self._pass_cursor.get(key)
-        self._pass_cursor[key] = len(self._events)
+        mark = len(ev)
+        self._pass_cursor[key] = mark
         adj = self.adj
-        if cur is None:
-            return [i for i in range(1, len(adj)) if adj[i]]
-        return [i for i in sorted(set(self._events[cur:])) if adj[i]]
+        base = (range(1, len(adj)) if cur is None
+                else sorted(set(ev[cur:mark])))
+        extras = []                       # min-heap of mid-sweep arrivals
+        pos = mark
+        last = 0
+        bi = 0
+        nb = len(base)
+        while True:
+            while pos < len(ev):          # drain events since last yield
+                x = ev[pos]
+                pos += 1
+                if x > last:
+                    heapq.heappush(extras, x)
+            if bi < nb and (not extras or base[bi] <= extras[0]):
+                i = base[bi]
+                bi += 1
+            elif extras:
+                i = heapq.heappop(extras)
+            else:
+                return
+            while extras and extras[0] == i:
+                heapq.heappop(extras)
+            if i <= last:
+                continue
+            last = i
+            if adj[i]:
+                yield i
 
     # ------------------------------------------------------------ primitives
 

@@ -26,30 +26,48 @@ class CollectiveLedger:
         self.reset()
 
     def reset(self):
-        # (phase, op, axis) -> payload bytes per invocation
-        self.per_call = defaultdict(int)
-        # phase -> invocation count
-        self.calls = defaultdict(int)
+        # (phase, op, axis, axis_size) -> accumulated payload bytes across
+        # all invocations (each invocation charged its LIVE trace variant's
+        # bytes, so retraces with different static shapes are exact —
+        # ADVICE r4: the old per_call x total-calls fold over-counted when
+        # a phase's kernel retraced mid-run)
+        self.totals = defaultdict(int)
+        self.calls = defaultdict(int)          # phase -> invocation count
+        self._variant = {}    # phase -> {(op, axis, asize): bytes/call}
+        self._last_per_call = {}
         self._phase = None
-        self._traced = set()
+        self._events = None
 
     @contextlib.contextmanager
     def phase(self, name):
-        prev = self._phase
-        self._phase = name
+        """Wrap ONE kernel invocation.  record() calls during the body
+        (they only fire when jit actually traces) define the phase's new
+        static-shape variant; on exit the invocation is charged the live
+        variant's bytes."""
+        prev, prev_ev = self._phase, self._events
+        self._phase, self._events = name, []
         try:
             yield
         finally:
-            self._phase = prev
+            if self._events:       # kernel (re)traced: new shape variant
+                var = defaultdict(int)
+                for op, axis, asize, nbytes in self._events:
+                    var[(op, axis, asize)] += nbytes
+                self._variant[name] = dict(var)
+            for key, nbytes in self._variant.get(name, {}).items():
+                self.totals[(name,) + key] += nbytes
+                self._last_per_call[(name,) + key] = nbytes
+            self.calls[name] += 1
+            self._phase, self._events = prev, prev_ev
 
     def invoke(self, name):
-        """Count one execution of phase `name`'s kernel."""
-        self.calls[name] += 1
+        """Kept for call-site clarity; the invocation accounting happens in
+        phase()'s exit (one phase() enter == one kernel invocation)."""
 
     def record(self, op, axis, axis_size, *arrays):
-        """Called at TRACE time inside a kernel: accumulate the payload
-        bytes of `arrays` for the current phase (once per trace)."""
-        if self._phase is None:
+        """Called at TRACE time inside a kernel: log the payload bytes of
+        `arrays` for the current invocation's (re)trace."""
+        if self._events is None:
             return
         nbytes = 0
         for a in arrays:
@@ -57,7 +75,7 @@ class CollectiveLedger:
             for d in a.shape:
                 n *= int(d)
             nbytes += n * a.dtype.itemsize
-        self.per_call[(self._phase, op, axis, axis_size)] += nbytes
+        self._events.append((op, axis, axis_size, nbytes))
 
     # ----------------------------------------------------------- reporting
 
@@ -71,16 +89,16 @@ class CollectiveLedger:
     def report(self, ici_bytes_per_s=4.5e10):
         """Per-phase collective totals + a modeled ICI transfer time."""
         phases = {}
-        for (phase, op, axis, asize), nbytes in sorted(self.per_call.items()):
+        for (phase, op, axis, asize), total in sorted(self.totals.items()):
             calls = self.calls.get(phase, 1)
-            total = nbytes * calls
-            wire = self._WIRE[op](nbytes, max(asize, 1)) * calls
+            wire = self._WIRE[op](total, max(asize, 1))
             rec = phases.setdefault(phase, {
                 "invocations": calls, "collectives": [],
                 "payload_bytes": 0, "wire_bytes": 0})
             rec["collectives"].append({
                 "op": op, "axis": axis, "axis_size": asize,
-                "payload_bytes_per_call": nbytes,
+                "payload_bytes_per_call": self._last_per_call.get(
+                    (phase, op, axis, asize), 0),
                 "payload_bytes": total, "wire_bytes": int(wire)})
             rec["payload_bytes"] += total
             rec["wire_bytes"] += int(wire)
