@@ -603,8 +603,9 @@ def run_device_measurement():
         def emit():
             r = dov._emit2(
                 p.packed2, lengths, rk_pad, rleft_pad, rcnt_pad, p.sid,
-                np.int32(h0), np.int32(nh), p.hash_len, nqt, cap, p.npos,
-                p.w, p.qw_max, False, p.off_bits, p.uniform_len, dedup=True)
+                np.int32(h0), np.int32(nh), np.int32(0), p.hash_len, nqt,
+                cap, p.npos, p.w, p.qw_max, False, p.off_bits,
+                p.uniform_len, dedup=True)
             return r + (int(r[2]),)
         t_emit, (out, kc, n_keep, nk) = best_of(emit)
         # expansion scatter+scan (cap x 4B x ~4 arrays), candidate gathers

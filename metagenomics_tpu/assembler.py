@@ -69,7 +69,18 @@ class Assembler:
                 return
             if engine == "native":
                 raise RuntimeError("native overlap engine unavailable")
-        if engine == "host":
+        if engine == "hybrid":
+            # CPU scan of reads [1, a) concurrent with the device shard
+            # [a, n]; canonical streams merge exactly (graph/build.py
+            # build_hybrid).  Falls back to the device pipeline for
+            # mixed-length datasets.
+            if graph.build_hybrid():
+                return
+            from .ops.device_overlap import DeviceOverlapPipeline
+            pipeline = DeviceOverlapPipeline(self.dataset,
+                                             self.cfg.min_overlap)
+            graph.build_from_pipeline(pipeline)
+        elif engine == "host":
             index = OverlapIndex(self.dataset, self.cfg.min_overlap)
             graph.build_from_index(index)
         elif engine == "sharded":

@@ -212,6 +212,64 @@ class BuildMixin:
         self._build_from_filtered(batch.r1[keep], batch.r2[keep],
                                   eo[keep], eoff[keep])
 
+    def build_hybrid(self, cpu_frac=None):
+        """Heterogeneous construction: the CPU natively scans reads
+        [1, a) against the full index (native.scan_canon, on a worker
+        thread) WHILE the device pipeline probes its shard [a, n]
+        (DeviceOverlapPipeline(row_lo=a)).  Canonical records are keyed by
+        their smaller endpoint, so the two shards partition the overlap
+        set exactly and the word streams concatenate into the full
+        canonical stream for the usual native replay — byte-identical
+        artifacts by construction (tests/test_hybrid.py).
+
+        Uniform-length datasets only (containment spans shards); returns
+        False to let the caller fall back otherwise.  The split fraction
+        defaults to 0.6 (CPU side), tuned for a ~2-core host with a
+        tunneled device link; override with MGTPU_HYBRID_CPU_FRAC."""
+        import os
+        import threading
+        ds = self.ds
+        if ds.longest_read_length != ds.shortest_read_length:
+            return False
+        from .. import native
+        if native.get_lib() is None:
+            return False
+        from ..ops.device_overlap import (DeviceOverlapPipeline,
+                                          canon_off_bits)
+        n = ds.number_of_unique_reads
+        lmax = ds.codes_fwd.shape[1]
+        off_bits = canon_off_bits(n, lmax, self.cfg.min_overlap)
+        if off_bits < 0 or n < 1024:
+            return False
+        frac = float(os.environ.get("MGTPU_HYBRID_CPU_FRAC",
+                                    cpu_frac if cpu_frac is not None
+                                    else 0.6))
+        a = max(1, min(n + 1, 1 + int(n * frac)))
+        hold = {}
+
+        def cpu_side():
+            hold["cpu"] = native.scan_canon(
+                ds.lengths, ds.codes_fwd, ds.codes_rev,
+                self.cfg.hash_string_length, 1, a, off_bits, n_threads=1)
+
+        th = threading.Thread(target=cpu_side)
+        th.start()
+        try:
+            pipeline = DeviceOverlapPipeline(ds, self.cfg.min_overlap,
+                                             row_lo=a)
+            canon = pipeline.stream_canon(check_cont=False)
+        finally:
+            th.join()
+        cpu = hold.get("cpu")
+        if canon is None or cpu is None:
+            return False
+        counts_d, words_d, _, _ = canon
+        counts_c, words_c = cpu
+        counts = counts_c + counts_d
+        words = np.concatenate([words_c, words_d])
+        return self._build_from_canon((counts, words, None, None), False,
+                                      off_bits)
+
     def _build_from_canon(self, canon, mixed, off_bits):
         """Finish construction from the canonical device stream: the native
         replay reconstructs mirror occurrences (mg_build_stream_canon);

@@ -73,6 +73,18 @@ def get_lib():
             ctypes.c_int64, _I64P, _I64P,
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.mg_scan_canon.restype = ctypes.c_void_p
+        lib.mg_scan_canon.argtypes = [
+            ctypes.c_int64, _I64P, _U8P, _U8P, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64]
+        lib.mg_scan_canon_len.restype = ctypes.c_int64
+        lib.mg_scan_canon_len.argtypes = [ctypes.c_void_p]
+        lib.mg_scan_canon_fetch.restype = None
+        lib.mg_scan_canon_fetch.argtypes = [
+            ctypes.c_void_p, _I64P, ctypes.POINTER(ctypes.c_uint32)]
+        lib.mg_scan_canon_free.restype = None
+        lib.mg_scan_canon_free.argtypes = [ctypes.c_void_p]
         lib.mg_supers.restype = None
         lib.mg_supers.argtypes = [ctypes.c_void_p, _I64P]
         for name in ("mg_num_edges", "mg_num_nodes", "mg_graph_num_edges",
@@ -209,6 +221,35 @@ def build_graph_stream_canon_words(lengths, counts, words, off_bits,
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         len(words), off_bits, hash_len, dead_end_length, n_threads)
     return _extract_result(lib, h, n_reads, want_supers=False)
+
+
+def scan_canon(lengths, codes_fwd, codes_rev, hash_len, r_lo, r_hi,
+               off_bits, n_threads=1):
+    """CPU-side canonical overlap scan of reads [r_lo, r_hi) against the
+    full index, for the hybrid engine: returns (counts int64 [n+1],
+    words uint32) in the device pipeline's packed layout, or None if the
+    library is unavailable.  See mg_scan_canon."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_reads = len(lengths) - 1
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    codes_fwd = np.ascontiguousarray(codes_fwd, dtype=np.uint8)
+    codes_rev = np.ascontiguousarray(codes_rev, dtype=np.uint8)
+    h = lib.mg_scan_canon(
+        n_reads, _p64(lengths), codes_fwd.ctypes.data_as(_U8P),
+        codes_rev.ctypes.data_as(_U8P), codes_fwd.shape[1], hash_len,
+        r_lo, r_hi, off_bits, n_threads)
+    try:
+        m = lib.mg_scan_canon_len(h)
+        counts = np.empty(n_reads + 1, dtype=np.int64)
+        words = np.empty(m, dtype=np.uint32)
+        lib.mg_scan_canon_fetch(
+            h, _p64(counts),
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return counts, words
+    finally:
+        lib.mg_scan_canon_free(h)
 
 
 def solve_min_cost_flow_native(n, arcs):

@@ -1377,6 +1377,120 @@ void *mg_build_stream_canon_words(int64_t n_reads, const int64_t *lengths,
                       dead_end_length, nt);
 }
 
+// CPU-side canonical scan for the HYBRID engine: build the full 4-key
+// index (all reads — overlaps cross the shard boundary), probe-scan ONLY
+// reads [r_lo, r_hi), and emit the canonical (r1 <= r2) verified edge
+// candidates as packed uint32 words in the device pipeline's layout
+// [r2 | eo|edge_ok<<2 :4 | offset:off_bits].  Because canonical records
+// are keyed by their SMALLER endpoint, a CPU scan of [1, a) and a device
+// scan of [a, n] partition the overlap set exactly: concatenating the two
+// word streams (CPU first) reproduces the full canonical stream for
+// mg_build_stream_canon_words.  Uniform-length datasets only (the hybrid
+// driver falls back when containment is involved).
+struct ScanCanonResult {
+    std::vector<int64_t> counts;
+    std::vector<uint32_t> words;
+};
+
+void *mg_scan_canon(int64_t n_reads, const int64_t *lengths,
+                    const uint8_t *codes_fwd, const uint8_t *codes_rev,
+                    int64_t lmax, int64_t hash_len, int64_t r_lo,
+                    int64_t r_hi, int64_t off_bits, int64_t n_threads) {
+    const int64_t l = hash_len;
+    // --- index over ALL reads (same construction as mg_assemble) --------
+    std::vector<IndexEntry> idx;
+    idx.reserve(4 * n_reads);
+    for (int64_t i = 1; i <= n_reads; i++) {
+        int64_t len = lengths[i];
+        const uint8_t *f = codes_fwd + i * lmax;
+        const uint8_t *r = codes_rev + i * lmax;
+        key_t128 kpf = 0, ksf = 0, kpr = 0, ksr = 0;
+        for (int64_t k = 0; k < l; k++) {
+            kpf = (kpf << 2) | (f[k] & 3);
+            ksf = (ksf << 2) | (f[len - l + k] & 3);
+            kpr = (kpr << 2) | (r[k] & 3);
+            ksr = (ksr << 2) | (r[len - l + k] & 3);
+        }
+        idx.push_back({kpf, (int32_t)i, 0});
+        idx.push_back({ksf, (int32_t)i, 1});
+        idx.push_back({kpr, (int32_t)i, 2});
+        idx.push_back({ksr, (int32_t)i, 3});
+    }
+    {
+        auto cmp = [](const IndexEntry &a, const IndexEntry &b) {
+            return a.key < b.key;
+        };
+        std::stable_sort(idx.begin(), idx.end(), cmp);
+    }
+    std::vector<uint64_t> bloom((1ULL << 24) / 64, 0);
+    for (const IndexEntry &e : idx) {
+        uint64_t bit = mix_key(e.key) & ((1ULL << 24) - 1);
+        bloom[bit >> 6] |= 1ULL << (bit & 63);
+    }
+    const int key_bits = (2 * (int)l >= 128) ? 128 : 2 * (int)l;
+    const int TBITS = (key_bits >= 20) ? 20 : key_bits;
+    const int range_shift = key_bits - TBITS;
+    std::vector<uint32_t> range_tab((1ULL << TBITS) + 1, 0);
+    for (const IndexEntry &e : idx)
+        range_tab[(uint64_t)(e.key >> range_shift) + 1]++;
+    for (size_t p = 1; p < range_tab.size(); p++)
+        range_tab[p] += range_tab[p - 1];
+
+    // --- scan [r_lo, r_hi) ----------------------------------------------
+    int nt = (int)n_threads;
+    if (nt < 1) nt = 1;
+    std::vector<OverlapScratch> scratch(nt);
+    if (nt == 1) {
+        scan_reads(r_lo, r_hi, lengths, codes_fwd, codes_rev, lmax, l,
+                   false, idx.data(), idx.size(), bloom.data(),
+                   range_tab.data(), range_shift, &scratch[0]);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t per = (r_hi - r_lo + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            int64_t b = r_lo + t * per;
+            int64_t e = std::min(r_hi, b + per);
+            if (b >= e) continue;
+            threads.emplace_back(scan_reads, b, e, lengths, codes_fwd,
+                                 codes_rev, lmax, l, false, idx.data(),
+                                 idx.size(), bloom.data(), range_tab.data(),
+                                 range_shift, &scratch[t]);
+        }
+        for (auto &th : threads) th.join();
+    }
+
+    // --- canonical filter + word packing --------------------------------
+    ScanCanonResult *res = new ScanCanonResult;
+    res->counts.assign(n_reads + 1, 0);
+    size_t total = 0;
+    for (const auto &sc : scratch)
+        for (const EdgeCand &c : sc.cands)
+            if (c.r1 <= c.r2) total++;
+    res->words.reserve(total);
+    const uint32_t ob = (uint32_t)off_bits;
+    for (const auto &sc : scratch)
+        for (const EdgeCand &c : sc.cands) {
+            if (c.r1 > c.r2) continue;
+            res->counts[c.r1]++;
+            res->words.push_back(((uint32_t)c.r2 << (4 + ob))
+                                 | (((uint32_t)c.eo | 4u) << ob)
+                                 | (uint32_t)c.eoff);
+        }
+    return res;
+}
+
+int64_t mg_scan_canon_len(void *h) {
+    return (int64_t)((ScanCanonResult *)h)->words.size();
+}
+
+void mg_scan_canon_fetch(void *h, int64_t *counts, uint32_t *words) {
+    ScanCanonResult *r = (ScanCanonResult *)h;
+    memcpy(counts, r->counts.data(), r->counts.size() * sizeof(int64_t));
+    memcpy(words, r->words.data(), r->words.size() * sizeof(uint32_t));
+}
+
+void mg_scan_canon_free(void *h) { delete (ScanCanonResult *)h; }
+
 void mg_supers(void *h, int64_t *out) {
     Result *r = (Result *)h;
     if (!r->supers.empty())

@@ -436,7 +436,7 @@ def _row_stats(rk, rcnt, h_total, n1, npos):
     "hash_len", "nqt", "cap", "npos", "w", "qw_max", "check_cont",
     "off_bits", "uniform_len", "dedup"))
 def _emit2(packed2, lengths, rk_pad, rleft_pad, rcnt_pad, sid, h0, nh_real,
-           hash_len, nqt, cap, npos, w, qw_max, check_cont, off_bits,
+           row0, hash_len, nqt, cap, npos, w, qw_max, check_cont, off_bits,
            uniform_len, dedup=False):
     """Expand + verify + order one chunk of hit queries [h0, h0+nh_real).
 
@@ -470,8 +470,9 @@ def _emit2(packed2, lengths, rk_pad, rleft_pad, rcnt_pad, sid, h0, nh_real,
     e = sid[jnp.clip(src, 0, sid.shape[0] - 1)]
     r2 = (e >> 2).astype(jnp.int32)
     orient = (e & 3).astype(jnp.int32)
-    r1 = qid // npos
-    j = qid - r1 * npos
+    qloc = qid // npos
+    j = qid - qloc * npos
+    r1 = row0 + qloc           # probe rows may be a shard [row0, n)
     r1c = jnp.clip(r1, 0, n1 - 1)
 
     if uniform_len >= 0:
@@ -567,6 +568,14 @@ def _cont_canon(out, kc, n_keep, lengths, n1, off_bits):
     return words2, counts2, n_keep2, supers, firsthit
 
 
+def canon_off_bits(n_unique, lmax, min_overlap):
+    """Packed-word offset width shared by the device pipeline and the
+    native canonical scan, or -1 when the single-u32 layout doesn't fit."""
+    bits_r2 = max(1, n_unique.bit_length())
+    bits_off = max(1, (lmax - min_overlap + 1).bit_length())
+    return bits_off if bits_r2 + 4 + bits_off <= 32 else -1
+
+
 def _tier(x, lo=1 << 16):
     """Smallest of {2^k, 3*2^(k-1)} >= x: bounds compile tiers to ~2/octave."""
     t = lo
@@ -590,9 +599,13 @@ class DeviceOverlapPipeline:
     CHUNK_TARGET = 1 << 21  # dedup-path chunk size: bounds buffer memory
                             # and lets chunk fetches overlap later compute
 
-    def __init__(self, dataset, min_overlap, chunk_rows=None):
+    def __init__(self, dataset, min_overlap, chunk_rows=None, row_lo=0):
         self.ds = dataset
         self.hash_len = min_overlap - 1
+        # probe only reads >= row_lo (the hybrid engine's device shard);
+        # the index still covers ALL reads, so cross-shard overlaps are
+        # discovered from whichever endpoint lies in this shard
+        self.row0 = int(row_lo)
         ds = dataset
         lmax = ds.codes_fwd.shape[1]
         if lmax >= 4096:
@@ -631,8 +644,11 @@ class DeviceOverlapPipeline:
         m = int(self.sk.shape[0])
         sum_block = 1 << max(3, min(12, (1 << 31).bit_length()
                                     - max(m, 1).bit_length() - 2))
+        hf_probe = self.hf[self.row0:] if self.row0 else self.hf
+        len_probe = (self.lengths[self.row0:] if self.row0
+                     else self.lengths)
         self.rk, self.rleft, self.rcnt, h_total, parts = _probe_join(
-            self.hf, self.lengths, self.sk, self.hash_len, sum_block)
+            hf_probe, len_probe, self.sk, self.hash_len, sum_block)
         self.h_total = int(h_total)
         self.grand = int(np.asarray(parts).sum(dtype=np.int64))
 
@@ -640,10 +656,7 @@ class DeviceOverlapPipeline:
         # (r2 bits + 4 flag/orient bits + offset bits) fit, else the
         # (r2 int32, meta uint16) pair — 6 bytes.  The packed word layout is
         # [r2 | edge_ok/cont_ok/eo (4b) | eoff (off_bits)].
-        n = n1 - 1
-        bits_r2 = max(1, n.bit_length())
-        bits_off = max(1, (lmax - min_overlap + 1).bit_length())
-        self.off_bits = bits_off if bits_r2 + 4 + bits_off <= 32 else -1
+        self.off_bits = canon_off_bits(n1 - 1, lmax, min_overlap)
         lens = ds.lengths[1:]
         self.uniform_len = (int(lens[0])
                             if len(lens) and (lens == lens[0]).all() else -1)
@@ -716,9 +729,9 @@ class DeviceOverlapPipeline:
         for h0, nh in chunks:
             out, kc, n_keep = _emit2(
                 self.packed2, self.lengths, rk_pad, rleft_pad, rcnt_pad,
-                self.sid, np.int32(h0), np.int32(nh), self.hash_len,
-                nqt, cap, npos, self.w, self.qw_max, check_cont,
-                self.off_bits, self.uniform_len)
+                self.sid, np.int32(h0), np.int32(nh), np.int32(self.row0),
+                self.hash_len, nqt, cap, npos, self.w, self.qw_max,
+                check_cont, self.off_bits, self.uniform_len)
             outs.append((out, n_keep))
             kc_total = kc if kc_total is None else kc_total + kc
 
@@ -832,8 +845,8 @@ class DeviceOverlapPipeline:
             h0, nh = chunks[0]
             out, kc, n_keep = _emit2(
                 self.packed2, self.lengths, rk_pad, rleft_pad, rcnt_pad,
-                self.sid, np.int32(h0), np.int32(nh), self.hash_len,
-                nqt, cap, npos, self.w, self.qw_max, True,
+                self.sid, np.int32(h0), np.int32(nh), np.int32(self.row0),
+                self.hash_len, nqt, cap, npos, self.w, self.qw_max, True,
                 self.off_bits, self.uniform_len)
             words2, counts2, n_keep2, sup, fh = _cont_canon(
                 out, kc, n_keep, self.lengths, n1, self.off_bits)
@@ -855,9 +868,10 @@ class DeviceOverlapPipeline:
             for h0, nh in chunks:             # dispatch everything (async)
                 out, kc, n_keep = _emit2(
                     self.packed2, self.lengths, rk_pad, rleft_pad, rcnt_pad,
-                    self.sid, np.int32(h0), np.int32(nh), self.hash_len,
-                    nqt, cap, npos, self.w, self.qw_max, False,
-                    self.off_bits, self.uniform_len, dedup=True)
+                    self.sid, np.int32(h0), np.int32(nh),
+                    np.int32(self.row0), self.hash_len, nqt, cap, npos,
+                    self.w, self.qw_max, False, self.off_bits,
+                    self.uniform_len, dedup=True)
                 outs.append((out, n_keep))
                 kc_total = kc if kc_total is None else kc_total + kc
             bufs_nk = [(out, int(nk)) for out, nk in outs]
