@@ -642,6 +642,16 @@ def run_device_measurement():
                      "stages compare against the measured LINK peak.")
         return u
 
+    def run_hybrid():
+        """Hybrid CPU+device engine: concurrent CPU shard scan + device
+        shard pipeline, exact canonical merge (graph/build.py)."""
+        graph = _fresh_graph(ds, cfg)
+        ds.super_read_id[:] = 0
+        t0 = time.time()
+        ok = graph.build_hybrid()
+        dt = time.time() - t0
+        return dt if ok else None
+
     run_once()                      # warm-up (compiles cache to JAX_CACHE)
     run_device_only()
     runs = [run_once() for _ in range(3)]
@@ -649,6 +659,14 @@ def run_device_measurement():
     # best of 6: the tunneled link's dispatch latency is bursty; the
     # minimum is the real device speed
     dev = min(run_device_only() for _ in range(6))
+    hybrid = None
+    try:
+        if run_hybrid() is not None:
+            hs = [run_hybrid() for _ in range(3)]
+            if all(h is not None for h in hs):
+                hybrid = min(hs)
+    except Exception:
+        hybrid = None
     util = None
     try:
         util = utilization()
@@ -683,6 +701,7 @@ def run_device_measurement():
         "backend": jax.default_backend(),
         "reads_per_s": round(n / best["total"], 1),
         "device_compute_reads_per_s": round(n / dev, 1),
+        "hybrid_reads_per_s": (round(n / hybrid, 1) if hybrid else None),
         "pallas_bit_identical": pallas_identical,
         "phases_s": {k: (round(v, 3) if isinstance(v, float) else v)
                      for k, v in best.items()},
@@ -774,7 +793,17 @@ def main():
         device["device_compute_vs_baseline"] = (
             round(device["device_compute_reads_per_s"] / base_rps, 2)
             if base_rps else 0.0)
+        hybrid_rps = device.pop("hybrid_reads_per_s", None)
         engines["device_tpu"] = device
+        if hybrid_rps:
+            engines["hybrid_cpu_tpu"] = {
+                "reads_per_s": hybrid_rps,
+                "vs_baseline": (round(hybrid_rps / base_rps, 2)
+                                if base_rps else 0.0),
+                "what": "device shard + concurrent CPU shard, exact "
+                        "canonical merge (MGTPU_HYBRID_CPU_FRAC=0.7); "
+                        "the auto engine on single-chip TPU backends",
+            }
 
     # Headline: the fastest END-TO-END engine rate on this machine
     # (apples-to-apples with the reference's end-to-end baseline; ADVICE
@@ -786,6 +815,9 @@ def main():
     if device and device.get("backend") == "tpu":
         if device["reads_per_s"] > value:
             value, headline = device["reads_per_s"], "device_tpu"
+        hy = engines.get("hybrid_cpu_tpu")
+        if hy and hy["reads_per_s"] > value:
+            value, headline = hy["reads_per_s"], "hybrid_cpu_tpu"
 
     record = {
         "metric": "overlap_detection_throughput",

@@ -60,9 +60,13 @@ class Assembler:
                                 getattr(self.cfg, "overlap_engine", "auto"))
         if engine == "auto":
             import jax
-            if (len(jax.devices()) > 1
-                    and jax.default_backend() == "tpu"):
-                engine = "sharded"
+            if jax.default_backend() == "tpu":
+                # a TPU backend puts the device to work by default: the
+                # sharded SPMD pipeline across multiple chips, else the
+                # hybrid engine (device shard + concurrent CPU shard with
+                # exact canonical merge).  hybrid falls back internally
+                # when unsupported (mixed lengths, no native library).
+                engine = ("sharded" if len(jax.devices()) > 1 else "hybrid")
         if engine in ("auto", "native") and not os.environ.get(
                 "MGTPU_NO_NATIVE"):
             if graph.build_full_native():

@@ -224,8 +224,9 @@ class BuildMixin:
 
         Uniform-length datasets only (containment spans shards); returns
         False to let the caller fall back otherwise.  The split fraction
-        defaults to 0.6 (CPU side), tuned for a ~2-core host with a
-        tunneled device link; override with MGTPU_HYBRID_CPU_FRAC."""
+        defaults to 0.7 (CPU side), tuned for a ~2-core host with a
+        tunneled device link (bench.py fraction sweep); override with
+        MGTPU_HYBRID_CPU_FRAC."""
         import os
         import threading
         ds = self.ds
@@ -243,7 +244,7 @@ class BuildMixin:
             return False
         frac = float(os.environ.get("MGTPU_HYBRID_CPU_FRAC",
                                     cpu_frac if cpu_frac is not None
-                                    else 0.6))
+                                    else 0.7))
         a = max(1, min(n + 1, 1 + int(n * frac)))
         hold = {}
 
