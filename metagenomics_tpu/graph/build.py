@@ -224,9 +224,10 @@ class BuildMixin:
 
         Uniform-length datasets only (containment spans shards); returns
         False to let the caller fall back otherwise.  The split fraction
-        defaults to 0.7 (CPU side), tuned for a ~2-core host with a
-        tunneled device link (bench.py fraction sweep); override with
-        MGTPU_HYBRID_CPU_FRAC."""
+        defaults to 0.9 (CPU side), tuned for a ~2-core host with a
+        tunneled device link (both shards finish in ~0.4s; the 2-thread
+        BFS replay then runs on the freed cores); override with
+        MGTPU_HYBRID_CPU_FRAC / MGTPU_HYBRID_CPU_THREADS."""
         import os
         import threading
         ds = self.ds
@@ -244,14 +245,19 @@ class BuildMixin:
             return False
         frac = float(os.environ.get("MGTPU_HYBRID_CPU_FRAC",
                                     cpu_frac if cpu_frac is not None
-                                    else 0.7))
+                                    else 0.9))
         a = max(1, min(n + 1, 1 + int(n * frac)))
         hold = {}
 
         def cpu_side():
+            # 2 scan threads: while the device side is in flight the main
+            # thread is mostly blocked on link transfers, so both cores
+            # are effectively available to the CPU shard
             hold["cpu"] = native.scan_canon(
                 ds.lengths, ds.codes_fwd, ds.codes_rev,
-                self.cfg.hash_string_length, 1, a, off_bits, n_threads=1)
+                self.cfg.hash_string_length, 1, a, off_bits,
+                n_threads=int(os.environ.get("MGTPU_HYBRID_CPU_THREADS",
+                                             2)))
 
         th = threading.Thread(target=cpu_side)
         th.start()
