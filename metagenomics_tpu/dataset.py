@@ -737,8 +737,14 @@ class Dataset:
                 os_ = starts0[s:e]
                 lmax = max(int(ls.max()), 1) if e > s else 1
                 k = np.arange(lmax)[None, :]
-                pos = np.minimum(os_[:, None] + k, len(arr0) - 1)
-                ascii_arr = np.where(k < ls[:, None], arr0[pos], 0)
+                if e > s and int(ls.min()) == lmax \
+                        and int(os_[-1]) + lmax <= len(arr0):
+                    # uniform lengths: one plain gather, no clamp/where
+                    # (same shortcut as the ingest fast path)
+                    ascii_arr = arr0[os_[:, None] + k]
+                else:
+                    pos = np.minimum(os_[:, None] + k, len(arr0) - 1)
+                    ascii_arr = np.where(k < ls[:, None], arr0[pos], 0)
 
                 def orig(j, os_=os_, ls=ls):
                     return arr0[os_[j]:os_[j] + ls[j]].tobytes()

@@ -5,8 +5,9 @@ Planted tandem/dispersed repeats induce self-loops and late-phase merges
 (the heap-address twin-selection paths — COMPONENTS.md known deviations).
 Usage: python tools/pipefuzz.py [seeds...]   (FUZZ_ENGINE=host|native|...,
 MGTPU_NO_NATIVE=1 for the pure-Python path, FUZZ_MODE=pe for interleaved
-paired-end datasets exercising the mate-pair/scaffolder merge paths;
-default seeds 1..40)
+paired-end datasets exercising the mate-pair/scaffolder merge paths,
+FUZZ_MODE=mix for a combined -pe + -se run with cross-dataset contained
+reads, FUZZ_L=<n> to sweep the min-overlap; default seeds 1..40)
 """
 import os, random, subprocess, sys, tempfile, shutil
 
@@ -75,16 +76,31 @@ def gen(seed, path):
 def run_one(seed):
     d = tempfile.mkdtemp(prefix="pf%d_" % seed)
     fa = os.path.join(d, "f.fasta")
-    gen(seed, fa)
-    kind = "-pe" if os.environ.get("FUZZ_MODE") == "pe" else "-se"
+    mode = os.environ.get("FUZZ_MODE")
+    l_opt = os.environ.get("FUZZ_L", "40")
+    if mode == "mix":
+        # combined -pe + -se run: the PE and SE files sample the SAME
+        # genome, so SE reads contain/overlap PE reads across dataset
+        # boundaries (dataset numbering, cross-dataset mate remapping)
+        fb = os.path.join(d, "g.fasta")
+        os.environ["FUZZ_MODE"] = "pe"
+        gen(seed, fa)
+        os.environ["FUZZ_MODE"] = ""
+        gen(seed, fb)
+        os.environ["FUZZ_MODE"] = "mix"
+        args = ["-pe", "1", fa, "-se", "1", fb]
+    else:
+        gen(seed, fa)
+        kind = "-pe" if mode == "pe" else "-se"
+        args = [kind, "1", fa]
     rd, od = os.path.join(d, "ref"), os.path.join(d, "ours")
     os.makedirs(rd); os.makedirs(od)
-    r1 = subprocess.run([REF, kind, "1", fa, "-f", "x_", "-l", "40"],
+    r1 = subprocess.run([REF, *args, "-f", "x_", "-l", l_opt],
                         cwd=rd, capture_output=True, timeout=600)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
                MG_ENGINE=os.environ.get("FUZZ_ENGINE", "host"))
     r2 = subprocess.run([sys.executable, "-m", "metagenomics_tpu.cli",
-                         kind, "1", fa, "-f", "x_", "-l", "40"],
+                         *args, "-f", "x_", "-l", l_opt],
                         cwd=od, capture_output=True, timeout=900, env=env)
     if r1.returncode != r2.returncode:
         print("seed %d: rc ref=%d ours=%d  (%s)" % (seed, r1.returncode,
