@@ -211,7 +211,7 @@ class GraphCore:
         the next sweep, exactly when the reference's next rescan sees them.
         The nonempty check happens at ARRIVAL time, like the reference's
         live `adj[i]` reads, not at sweep start."""
-        import heapq
+        from heapq import heappop, heappush
         if self._events is None:
             self._events = []
         ev = self._events
@@ -219,28 +219,36 @@ class GraphCore:
         mark = len(ev)
         self._pass_cursor[key] = mark
         adj = self.adj
-        base = (range(1, len(adj)) if cur is None
-                else sorted(set(ev[cur:mark])))
+        # C-speed prefilters keep the Python yield loop short; a node that
+        # is empty at sweep start and gains an edge mid-sweep is caught
+        # through the event drain below (every insertion touches its node)
+        if cur is None:
+            base = [i for i in range(1, len(adj)) if adj[i]]
+        else:
+            base = sorted(set(ev[cur:mark]))
         extras = []                       # min-heap of mid-sweep arrivals
         pos = mark
         last = 0
         bi = 0
         nb = len(base)
         while True:
-            while pos < len(ev):          # drain events since last yield
-                x = ev[pos]
+            while True:                   # drain events since last yield
+                try:
+                    x = ev[pos]
+                except IndexError:
+                    break
                 pos += 1
                 if x > last:
-                    heapq.heappush(extras, x)
+                    heappush(extras, x)
             if bi < nb and (not extras or base[bi] <= extras[0]):
                 i = base[bi]
                 bi += 1
             elif extras:
-                i = heapq.heappop(extras)
+                i = heappop(extras)
             else:
                 return
             while extras and extras[0] == i:
-                heapq.heappop(extras)
+                heappop(extras)
             if i <= last:
                 continue
             last = i
