@@ -1416,11 +1416,33 @@ void *mg_scan_canon(int64_t n_reads, const int64_t *lengths,
         idx.push_back({kpr, (int32_t)i, 2});
         idx.push_back({ksr, (int32_t)i, 3});
     }
+    int nt = (int)n_threads;
+    if (nt < 1) nt = 1;
     {
+        // same top-bit bisected parallel stable sort as mg_assemble:
+        // equal keys share the top bit, so per-half stable sorts keep the
+        // reference's (rid, orient) tie order
         auto cmp = [](const IndexEntry &a, const IndexEntry &b) {
             return a.key < b.key;
         };
-        std::stable_sort(idx.begin(), idx.end(), cmp);
+        if (nt >= 2 && idx.size() > 1u << 16) {
+            const int kb = (2 * (int)l >= 128) ? 128 : 2 * (int)l;
+            const key_t128 top = (key_t128)1 << (kb - 1);
+            std::vector<IndexEntry> lo, hi;
+            lo.reserve(idx.size());
+            hi.reserve(idx.size());
+            for (const IndexEntry &e : idx)
+                ((e.key & top) ? hi : lo).push_back(e);
+            std::thread th([&] {
+                std::stable_sort(lo.begin(), lo.end(), cmp);
+            });
+            std::stable_sort(hi.begin(), hi.end(), cmp);
+            th.join();
+            std::copy(hi.begin(), hi.end(),
+                      std::copy(lo.begin(), lo.end(), idx.begin()));
+        } else {
+            std::stable_sort(idx.begin(), idx.end(), cmp);
+        }
     }
     std::vector<uint64_t> bloom((1ULL << 24) / 64, 0);
     for (const IndexEntry &e : idx) {
@@ -1437,8 +1459,6 @@ void *mg_scan_canon(int64_t n_reads, const int64_t *lengths,
         range_tab[p] += range_tab[p - 1];
 
     // --- scan [r_lo, r_hi) ----------------------------------------------
-    int nt = (int)n_threads;
-    if (nt < 1) nt = 1;
     std::vector<OverlapScratch> scratch(nt);
     if (nt == 1) {
         scan_reads(r_lo, r_hi, lengths, codes_fwd, codes_rev, lmax, l,
