@@ -69,11 +69,17 @@ struct Edge {
 struct AdjE {
     Edge *e;
     int32_t dest;
+    uint16_t off;     // cached construction offset (fits the reference's
+                      // UINT16 overlapOffset); ONLY read by the
+                      // construction-time offset sort — merged composite
+                      // offsets may exceed 16 bits but are never sorted
+                      // through this field
     int8_t orient;
 
-    AdjE() : e(nullptr), dest(0), orient(0) {}
+    AdjE() : e(nullptr), dest(0), off(0), orient(0) {}
     explicit AdjE(Edge *ed)
-        : e(ed), dest((int32_t)ed->destination), orient((int8_t)ed->orient) {}
+        : e(ed), dest((int32_t)ed->destination),
+          off((uint16_t)ed->offset), orient((int8_t)ed->orient) {}
 };
 
 // Per-read row storage (adjacency + read->edge location index).  Owned by
@@ -594,8 +600,23 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
                       int8_t *explored, int8_t *mark,
                       const BfsTargets *bfs_targets = nullptr) {
     double t0 = now_s();
+    // env-gated sub-phase accounting (MGTPU_NATIVE_PROFILE=2): where the
+    // BFS wall goes — insertion+sort vs Myers marking vs removal
+    const bool prof2 = profile_enabled() && getenv("MGTPU_NATIVE_PROFILE")
+                       && getenv("MGTPU_NATIVE_PROFILE")[0] == '2';
+    double a_ins = 0, a_mark = 0, a_rem = 0;
     std::vector<int64_t> queue;
     auto insert_all = [&](int64_t rn) {
+        double s = prof2 ? now_s() : 0;
+        {
+            // pre-size the adjacency row: its own candidates plus a
+            // similar count of twin entries arriving from neighbors —
+            // skips ~5 doubling reallocations per row
+            auto &lst0 = g->adj[rn];
+            int64_t own = cand_start[rn + 1] - cand_start[rn];
+            if ((int64_t)lst0.capacity() < 2 * own)
+                lst0.reserve(2 * own);
+        }
         for (int64_t k = cand_start[rn]; k < cand_start[rn + 1]; k++) {
             int64_t dest = cand_dest[k];
             if (explored[dest] != 0) continue;
@@ -607,8 +628,19 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
         if (!lst.empty())
             std::sort(lst.begin(), lst.end(),
                       [](const AdjE &a, const AdjE &b) {
-                          return a.e->offset < b.e->offset;
+                          return a.off < b.off;   // cached: no Edge deref
                       });
+        if (prof2) a_ins += now_s() - s;
+    };
+    auto mark_tr = [&](int64_t rn) {
+        double s = prof2 ? now_s() : 0;
+        g->mark_transitive(rn, mark);
+        if (prof2) a_mark += now_s() - s;
+    };
+    auto remove_tr = [&](int64_t rn) {
+        double s = prof2 ? now_s() : 0;
+        g->remove_transitive(rn);
+        if (prof2) a_rem += now_s() - s;
     };
 
     for (size_t ni = 0; ni < nn; ni++) {
@@ -643,7 +675,7 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
                             explored[read2] = 1;
                         }
                     }
-                    g->mark_transitive(read1, mark);
+                    mark_tr(read1);
                     explored[read1] = 2;
                 }
                 if (explored[read1] == 2) {
@@ -659,11 +691,11 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
                                     explored[read3] = 1;
                                 }
                             }
-                            g->mark_transitive(read2, mark);
+                            mark_tr(read2);
                             explored[read2] = 2;
                         }
                     }
-                    g->remove_transitive(read1);
+                    remove_tr(read1);
                 }
             }
             if (tg && tg_i < tg->size() && local_cnt == (*tg)[tg_i][0]) {
@@ -680,6 +712,9 @@ void run_construction(Graph *g, const int64_t *nodes, size_t nn,
                                       g->n_edges - run_e0});
     }
 
+    if (prof2)
+        fprintf(stderr, "[mg_native]   bfs-sub ins=%.3f mark=%.3f rem=%.3f\n",
+                a_ins, a_mark, a_rem);
     PROF("  bfs", t0); t0 = now_s();
     g->bfs_nodes = g->n_nodes;
     g->bfs_edges = g->n_edges;
