@@ -474,9 +474,10 @@ class ShardedOverlapPipeline:
 
     # --------------------------------------------------------------- emit
 
-    @partial(jax.jit, static_argnames=("self", "cap", "m_blk", "cc"))
+    @partial(jax.jit, static_argnames=("self", "cap", "m_blk", "cc",
+                                       "dedup"))
     def _emit_chunk(self, r0s, r1s, cap, m_blk, cc, rk_a, rleft_a, rcnt_a,
-                    hcum_a, sid_a, pfwd_a, prev_a, lengths_a):
+                    hcum_a, sid_a, pfwd_a, prev_a, lengths_a, dedup=False):
         mesh, D, I = self.mesh, self.dp, self.ix
         nloc, npos, w = self.nloc, self.npos, self.w
         hash_len, qw_max = self.hash_len, self.qw_max
@@ -544,7 +545,15 @@ class ShardedOverlapPipeline:
                     hash_len, w, qw_max, cc)
                 pos = jnp.arange(m_blk, dtype=jnp.int32) + start_eff
                 livem = (pos >= start) & (pos < start + bsz)
-                bkeep = livem & (edge_ok | cont_ok)
+                if dedup:
+                    # canonical-dedup mode (uniform lengths): keep only
+                    # the smaller-endpoint occurrence; the native replay
+                    # reconstructs the mirrors (mg_build_stream_canon)
+                    br1g = (blk(sqid).astype(jnp.int32)
+                            & jnp.int32(0x7FFFFFFF)) // npos
+                    bkeep = livem & edge_ok & (br1g <= br2)
+                else:
+                    bkeep = livem & (edge_ok | cont_ok)
                 fe = (eo | (edge_ok.astype(jnp.int32) << 2)
                       | (cont_ok.astype(jnp.int32) << 3))
                 bmeta = (fe | (eoff << 4)).astype(jnp.uint16)
@@ -610,7 +619,26 @@ class ShardedOverlapPipeline:
 
     # -------------------------------------------------------------- stream
 
-    def stream(self, check_cont=True, download=True):
+    def stream_canon(self, check_cont=True):
+        """Canonical (deduplicated) survivor stream in the packed-word
+        contract of DeviceOverlapPipeline.stream_canon — halves the
+        cross-ix all_gather payload AND the device->host download.
+        Uniform-length datasets only (containment needs the full
+        stream); returns None to let the caller fall back."""
+        if check_cont:
+            return None
+        ob = dov.canon_off_bits(self.n1 - 1, self.lmax, self.hash_len + 1)
+        if ob < 0:
+            return None
+        self.off_bits = ob
+        counts, r2, meta = self.stream(check_cont=False, dedup=True)
+        words = ((r2.astype(np.uint32) << np.uint32(4 + ob))
+                 | ((meta.astype(np.uint32) & np.uint32(15))
+                    << np.uint32(ob))
+                 | (meta.astype(np.uint32) >> np.uint32(4)))
+        return counts, words, None, None
+
+    def stream(self, check_cont=True, download=True, dedup=False):
         """Survivor stream in reference discovery order: (counts [n1] int64,
         r2 int32, meta uint16) — the DeviceOverlapPipeline.stream contract."""
         D = self.dp
@@ -666,7 +694,7 @@ class ShardedOverlapPipeline:
                 "emit", self._emit_chunk,
                 r0s, r1s, cap, m_blk, check_cont, self.rk, self.rleft,
                 self.rcnt, self.row_hits_cum, self.sid2, self.pfwd,
-                self.prev, self.lengths)
+                self.prev, self.lengths, dedup)
             outs.append((qk, r2o, mo, nk))
             kc_total = kc if kc_total is None else kc_total + kc
 

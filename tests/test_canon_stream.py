@@ -132,3 +132,40 @@ def test_device_stream_canon(name):
     # fields must match exactly
     assert ((cmeta & 3) == (meta[keep] & 3)).all()
     assert ((cmeta >> 4) == (meta[keep] >> 4)).all()
+
+
+def test_sharded_stream_canon():
+    """The sharded pipeline's canonical stream must agree record-for-
+    record with the host-side canonical filter over its full stream
+    (uniform-length dataset, dp=4 x ix=2 mesh)."""
+    import jax
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.parallel.mesh import make_mesh
+    from metagenomics_tpu.parallel.sharded import ShardedOverlapPipeline
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    se = os.path.join(GOLDEN, "se_hard.fasta")
+    ds = Dataset([], [se], 40, log=_quiet)
+    if ds.longest_read_length != ds.shortest_read_length:
+        pytest.skip("dataset not uniform-length")
+    mesh = make_mesh(dp=4, ix=2, devices=jax.devices()[:8])
+    pipeline = ShardedOverlapPipeline(ds, 40, mesh=mesh)
+    counts, r2, meta = pipeline.stream(check_cont=False)
+    got = pipeline.stream_canon(check_cont=False)
+    assert got is not None
+    ccounts, cwords, csup, _ = got
+    assert csup is None
+    ob = pipeline.off_bits
+    cr2 = (cwords >> np.uint32(4 + ob)).astype(np.int32)
+    ceo = ((cwords >> np.uint32(ob)) & np.uint32(3)).astype(np.uint16)
+    coff = (cwords & np.uint32((1 << ob) - 1)).astype(np.uint16)
+
+    r1 = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = (((meta >> 2) & 1).astype(bool)) & (r1 <= r2)
+    want_counts = np.zeros(len(counts), np.int64)
+    np.add.at(want_counts, r1[keep], 1)
+    assert (ccounts == want_counts).all()
+    assert (cr2 == r2[keep]).all()
+    assert (ceo == (meta[keep] & 3)).all()
+    assert (coff == (meta[keep] >> 4)).all()
