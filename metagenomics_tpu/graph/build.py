@@ -19,6 +19,38 @@ UNEXPLORED, EXPLORED, EXPLORED_MARKED = 0, 1, 2
 VACANT, INPLAY, ELIMINATED = 0, 1, 2
 
 
+def _resolve_supers(cont_r1, cont_r2, lengths, n):
+    """Vectorized containment resolution over hits in global discovery
+    order (OverlapGraph.cpp:225-290 semantics: first containing read wins,
+    a strictly longer one replaces — equivalently, the FIRST hit whose
+    container length equals the per-read maximum).  Returns (supers,
+    firsthit_r1) arrays indexed by read id; firsthit_r1 feeds the per-1e6
+    contained-read heartbeat lines."""
+    supers = np.zeros(n + 1, np.int64)
+    firsthit = np.zeros(n + 1, np.int64)
+    if len(cont_r2) == 0:
+        return supers, firsthit
+    len1 = np.asarray(lengths)[cont_r1]
+    pos = np.arange(len(cont_r2))
+    order = np.lexsort((pos, cont_r2))
+    r2s = cont_r2[order]
+    l1s = len1[order]
+    r1s = cont_r1[order]
+    seg_start = np.concatenate([[True], r2s[1:] != r2s[:-1]])
+    seg_id = np.cumsum(seg_start) - 1
+    nseg = int(seg_id[-1]) + 1
+    segmax = np.zeros(nseg, l1s.dtype)
+    np.maximum.at(segmax, seg_id, l1s)
+    ismax = l1s == segmax[seg_id]
+    firstmax = np.full(nseg, len(r2s), np.int64)
+    np.minimum.at(firstmax, seg_id[ismax], np.flatnonzero(ismax))
+    starts = np.flatnonzero(seg_start)
+    seg_r2 = r2s[starts]
+    supers[seg_r2] = r1s[firstmax]
+    firsthit[seg_r2] = r1s[starts]
+    return supers, firsthit
+
+
 class BuildMixin:
     # ------------------------------------------------------ contained reads
 
@@ -222,17 +254,20 @@ class BuildMixin:
         canonical stream for the usual native replay — byte-identical
         artifacts by construction (tests/test_hybrid.py).
 
-        Uniform-length datasets only (containment spans shards); returns
-        False to let the caller fall back otherwise.  The split fraction
-        defaults to 0.9 (CPU side), tuned for a ~2-core host with a
-        tunneled device link (both shards finish in ~0.4s; the 2-thread
-        BFS replay then runs on the freed cores); override with
-        MGTPU_HYBRID_CPU_FRAC / MGTPU_HYBRID_CPU_THREADS."""
+        Mixed-length datasets: both shards emit their containment hits in
+        discovery order plus UNFILTERED canonical edge records; the
+        host resolves supers globally (the reference's first-wins /
+        longest-replaces rule, vectorized) and masks both edge streams
+        symmetrically before the replay.
+
+        The split fraction defaults to 0.9 (CPU side), tuned for a
+        ~2-core host with a tunneled device link (both shards finish in
+        ~0.4s; the 2-thread BFS replay then runs on the freed cores);
+        override with MGTPU_HYBRID_CPU_FRAC / MGTPU_HYBRID_CPU_THREADS."""
         import os
         import threading
         ds = self.ds
-        if ds.longest_read_length != ds.shortest_read_length:
-            return False
+        mixed = ds.longest_read_length != ds.shortest_read_length
         from .. import native
         if native.get_lib() is None:
             return False
@@ -255,7 +290,7 @@ class BuildMixin:
             # are effectively available to the CPU shard
             hold["cpu"] = native.scan_canon(
                 ds.lengths, ds.codes_fwd, ds.codes_rev,
-                self.cfg.hash_string_length, 1, a, off_bits,
+                self.cfg.hash_string_length, 1, a, off_bits, mixed=mixed,
                 n_threads=int(os.environ.get("MGTPU_HYBRID_CPU_THREADS",
                                              2)))
 
@@ -264,18 +299,49 @@ class BuildMixin:
         try:
             pipeline = DeviceOverlapPipeline(ds, self.cfg.min_overlap,
                                              row_lo=a)
-            canon = pipeline.stream_canon(check_cont=False)
+            if mixed:
+                dev = pipeline.stream_canon_raw_mixed()
+            else:
+                dev = pipeline.stream_canon(check_cont=False)
         finally:
             th.join()
         cpu = hold.get("cpu")
-        if canon is None or cpu is None:
+        if dev is None or cpu is None:
             return False
-        counts_d, words_d, _, _ = canon
-        counts_c, words_c = cpu
-        counts = counts_c + counts_d
-        words = np.concatenate([words_c, words_d])
-        return self._build_from_canon((counts, words, None, None), False,
-                                      off_bits)
+
+        ob = off_bits
+        if not mixed:
+            counts_d, words_d, _, _ = dev
+            counts_c, words_c = cpu
+            counts = counts_c + counts_d
+            words = np.concatenate([words_c, words_d])
+            return self._build_from_canon((counts, words, None, None),
+                                          False, ob)
+
+        # ---- mixed: global containment resolution across the shards ----
+        counts_d, words_d = dev
+        counts_c, words_c, cont_r1c, cont_r2c = cpu
+        fe_d = (words_d >> np.uint32(ob)) & np.uint32(15)
+        r2_d = (words_d >> np.uint32(4 + ob)).astype(np.int64)
+        r1_d = np.repeat(np.arange(len(counts_d), dtype=np.int64),
+                         counts_d)
+        cont_d = (fe_d & 8) != 0
+        cont_r1 = np.concatenate([cont_r1c.astype(np.int64), r1_d[cont_d]])
+        cont_r2 = np.concatenate([cont_r2c.astype(np.int64), r2_d[cont_d]])
+        supers, firsthit = _resolve_supers(cont_r1, cont_r2, ds.lengths, n)
+
+        r1_c = np.repeat(np.arange(len(counts_c), dtype=np.int64),
+                         counts_c)
+        r2_c = (words_c >> np.uint32(4 + ob)).astype(np.int64)
+        keep_c = (supers[r1_c] == 0) & (supers[r2_c] == 0)
+        keep_d = (((fe_d & 4) != 0) & (r1_d <= r2_d)
+                  & (supers[r1_d] == 0) & (supers[r2_d] == 0))
+        counts = np.zeros(n + 1, np.int64)
+        np.add.at(counts, r1_c[keep_c], 1)
+        np.add.at(counts, r1_d[keep_d], 1)
+        words = np.concatenate([words_c[keep_c], words_d[keep_d]])
+        return self._build_from_canon((counts, words, supers, firsthit),
+                                      True, ob)
 
     def _build_from_canon(self, canon, mixed, off_bits):
         """Finish construction from the canonical device stream: the native

@@ -77,12 +77,18 @@ def get_lib():
         lib.mg_scan_canon.argtypes = [
             ctypes.c_int64, _I64P, _U8P, _U8P, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64]
+            ctypes.c_int64, ctypes.c_int64]
         lib.mg_scan_canon_len.restype = ctypes.c_int64
         lib.mg_scan_canon_len.argtypes = [ctypes.c_void_p]
+        lib.mg_scan_canon_cont_len.restype = ctypes.c_int64
+        lib.mg_scan_canon_cont_len.argtypes = [ctypes.c_void_p]
         lib.mg_scan_canon_fetch.restype = None
         lib.mg_scan_canon_fetch.argtypes = [
             ctypes.c_void_p, _I64P, ctypes.POINTER(ctypes.c_uint32)]
+        lib.mg_scan_canon_cont.restype = None
+        lib.mg_scan_canon_cont.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
         lib.mg_scan_canon_free.restype = None
         lib.mg_scan_canon_free.argtypes = [ctypes.c_void_p]
         lib.mg_supers.restype = None
@@ -224,11 +230,13 @@ def build_graph_stream_canon_words(lengths, counts, words, off_bits,
 
 
 def scan_canon(lengths, codes_fwd, codes_rev, hash_len, r_lo, r_hi,
-               off_bits, n_threads=1):
+               off_bits, n_threads=1, mixed=False):
     """CPU-side canonical overlap scan of reads [r_lo, r_hi) against the
     full index, for the hybrid engine: returns (counts int64 [n+1],
-    words uint32) in the device pipeline's packed layout, or None if the
-    library is unavailable.  See mg_scan_canon."""
+    words uint32) in the device pipeline's packed layout — plus, in mixed
+    mode, (cont_r1, cont_r2) containment hits in discovery order (edge
+    records are then UNFILTERED by containment; the caller resolves
+    supers globally).  None if the library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -239,7 +247,7 @@ def scan_canon(lengths, codes_fwd, codes_rev, hash_len, r_lo, r_hi,
     h = lib.mg_scan_canon(
         n_reads, _p64(lengths), codes_fwd.ctypes.data_as(_U8P),
         codes_rev.ctypes.data_as(_U8P), codes_fwd.shape[1], hash_len,
-        r_lo, r_hi, off_bits, n_threads)
+        r_lo, r_hi, off_bits, 1 if mixed else 0, n_threads)
     try:
         m = lib.mg_scan_canon_len(h)
         counts = np.empty(n_reads + 1, dtype=np.int64)
@@ -247,7 +255,15 @@ def scan_canon(lengths, codes_fwd, codes_rev, hash_len, r_lo, r_hi,
         lib.mg_scan_canon_fetch(
             h, _p64(counts),
             words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
-        return counts, words
+        if not mixed:
+            return counts, words
+        nc = lib.mg_scan_canon_cont_len(h)
+        cr1 = np.empty(nc, dtype=np.int32)
+        cr2 = np.empty(nc, dtype=np.int32)
+        lib.mg_scan_canon_cont(
+            h, cr1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cr2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return counts, words, cr1, cr2
     finally:
         lib.mg_scan_canon_free(h)
 

@@ -1425,12 +1425,15 @@ void *mg_build_stream_canon_words(int64_t n_reads, const int64_t *lengths,
 struct ScanCanonResult {
     std::vector<int64_t> counts;
     std::vector<uint32_t> words;
+    std::vector<int32_t> cont_r1, cont_r2;   // mixed mode: containment
+                                             // hits in discovery order
 };
 
 void *mg_scan_canon(int64_t n_reads, const int64_t *lengths,
                     const uint8_t *codes_fwd, const uint8_t *codes_rev,
                     int64_t lmax, int64_t hash_len, int64_t r_lo,
-                    int64_t r_hi, int64_t off_bits, int64_t n_threads) {
+                    int64_t r_hi, int64_t off_bits, int64_t mixed,
+                    int64_t n_threads) {
     const int64_t l = hash_len;
     // --- index over ALL reads (same construction as mg_assemble) --------
     std::vector<IndexEntry> idx;
@@ -1495,9 +1498,10 @@ void *mg_scan_canon(int64_t n_reads, const int64_t *lengths,
 
     // --- scan [r_lo, r_hi) ----------------------------------------------
     std::vector<OverlapScratch> scratch(nt);
+    const bool mix = mixed != 0;
     if (nt == 1) {
         scan_reads(r_lo, r_hi, lengths, codes_fwd, codes_rev, lmax, l,
-                   false, idx.data(), idx.size(), bloom.data(),
+                   mix, idx.data(), idx.size(), bloom.data(),
                    range_tab.data(), range_shift, &scratch[0]);
     } else {
         std::vector<std::thread> threads;
@@ -1507,7 +1511,7 @@ void *mg_scan_canon(int64_t n_reads, const int64_t *lengths,
             int64_t e = std::min(r_hi, b + per);
             if (b >= e) continue;
             threads.emplace_back(scan_reads, b, e, lengths, codes_fwd,
-                                 codes_rev, lmax, l, false, idx.data(),
+                                 codes_rev, lmax, l, mix, idx.data(),
                                  idx.size(), bloom.data(), range_tab.data(),
                                  range_shift, &scratch[t]);
         }
@@ -1523,6 +1527,9 @@ void *mg_scan_canon(int64_t n_reads, const int64_t *lengths,
             if (c.r1 <= c.r2) total++;
     res->words.reserve(total);
     const uint32_t ob = (uint32_t)off_bits;
+    // edge records are canonical but NOT filtered by containment here:
+    // in mixed mode supers are resolved globally across shards on the
+    // host, which then masks both shards' edge streams symmetrically
     for (const auto &sc : scratch)
         for (const EdgeCand &c : sc.cands) {
             if (c.r1 > c.r2) continue;
@@ -1531,6 +1538,17 @@ void *mg_scan_canon(int64_t n_reads, const int64_t *lengths,
                                  | (((uint32_t)c.eo | 4u) << ob)
                                  | (uint32_t)c.eoff);
         }
+    if (mix) {
+        size_t nc = 0;
+        for (const auto &sc : scratch) nc += sc.cont.size();
+        res->cont_r1.reserve(nc);
+        res->cont_r2.reserve(nc);
+        for (const auto &sc : scratch)
+            for (const ContHit &h : sc.cont) {
+                res->cont_r1.push_back(h.r1);
+                res->cont_r2.push_back(h.r2);
+            }
+    }
     return res;
 }
 
@@ -1538,10 +1556,20 @@ int64_t mg_scan_canon_len(void *h) {
     return (int64_t)((ScanCanonResult *)h)->words.size();
 }
 
+int64_t mg_scan_canon_cont_len(void *h) {
+    return (int64_t)((ScanCanonResult *)h)->cont_r1.size();
+}
+
 void mg_scan_canon_fetch(void *h, int64_t *counts, uint32_t *words) {
     ScanCanonResult *r = (ScanCanonResult *)h;
     memcpy(counts, r->counts.data(), r->counts.size() * sizeof(int64_t));
     memcpy(words, r->words.data(), r->words.size() * sizeof(uint32_t));
+}
+
+void mg_scan_canon_cont(void *h, int32_t *r1, int32_t *r2) {
+    ScanCanonResult *r = (ScanCanonResult *)h;
+    memcpy(r1, r->cont_r1.data(), r->cont_r1.size() * sizeof(int32_t));
+    memcpy(r2, r->cont_r2.data(), r->cont_r2.size() * sizeof(int32_t));
 }
 
 void mg_scan_canon_free(void *h) { delete (ScanCanonResult *)h; }

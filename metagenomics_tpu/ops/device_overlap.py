@@ -485,7 +485,13 @@ def _emit2(packed2, lengths, rk_pad, rleft_pad, rcnt_pad, sid, h0, nh_real,
     edge_ok, cont_ok, eo, eoff = _verify_pairs(
         packed2, len1, len2, r1c, j, r2, orient, hash_len, w, qw_max,
         check_cont, rev_lmax=npos + hash_len - 1)
-    if dedup:
+    if dedup and check_cont:
+        # hybrid mixed mode: canonical edges (smaller endpoint) PLUS every
+        # containment hit (either id order — the container is the longer
+        # read); the host resolves supers globally across shards and masks
+        # the edge records afterwards
+        keep = in_range & ((edge_ok & (r1c <= r2)) | cont_ok)
+    elif dedup:
         # canonical-dedup mode (uniform lengths, no containment): keep each
         # overlap's smaller-endpoint occurrence only; the native replay
         # reconstructs the mirrors (mg_build_stream_canon)
@@ -882,6 +888,34 @@ class DeviceOverlapPipeline:
             supers = None
             firsthit = None
         return counts, packed, supers, firsthit
+
+    def stream_canon_raw_mixed(self):
+        """Hybrid mixed-mode stream: canonical edge records (smaller
+        endpoint, UNFILTERED by containment) plus every containment hit,
+        as packed words carrying their fe flags (bit 2 edge, bit 3 cont).
+        The caller resolves supers globally across shards and masks the
+        edge records.  Returns (counts int64, words uint32) or None."""
+        if self.off_bits < 0:
+            return None
+        npos = self.npos
+        cap, nqt, chunks = self._plan_chunks()
+        rk_pad, rleft_pad, rcnt_pad = self._padded(nqt)
+        outs = []
+        kc_total = None
+        for h0, nh in chunks:
+            out, kc, n_keep = _emit2(
+                self.packed2, self.lengths, rk_pad, rleft_pad, rcnt_pad,
+                self.sid, np.int32(h0), np.int32(nh), np.int32(self.row0),
+                self.hash_len, nqt, cap, npos, self.w, self.qw_max, True,
+                self.off_bits, self.uniform_len, dedup=True)
+            outs.append((out, n_keep))
+            kc_total = kc if kc_total is None else kc_total + kc
+        bufs_nk = [(out, int(nk)) for out, nk in outs]
+        parts = self._fetch_packed(bufs_nk)
+        packed = (np.concatenate(parts) if len(parts) > 1
+                  else (parts[0] if parts else np.zeros(0, np.uint32)))
+        counts = np.asarray(kc_total).astype(np.int64)
+        return counts, packed
 
     def candidates(self, check_cont=True):
         """Back-compat view of stream(): (CandidateBatch, edge_orient,

@@ -4,8 +4,9 @@ The hybrid engine scans reads [1, a) on the CPU (native.scan_canon)
 concurrently with the device pipeline probing [a, n]; canonical records
 are keyed by their smaller endpoint, so the shards partition the overlap
 set exactly and the concatenated word streams equal the full canonical
-stream.  These tests pin byte-identical graphs against the native engine
-across split fractions, and the mixed-length fallback."""
+stream.  Mixed-length datasets resolve containment GLOBALLY on the host
+from both shards' hit streams.  These tests pin byte-identical graphs
+against the native engine across split fractions and dataset shapes."""
 
 import os
 
@@ -41,7 +42,7 @@ def _mkreads(tmp_path, n=6000, glen=60_000, L=100, seed=9):
     return str(path)
 
 
-def _unitig(se, engine, frac=None, monkeypatch=None):
+def _unitig(se, engine, frac=None):
     from metagenomics_tpu.config import AssemblerConfig
     from metagenomics_tpu.dataset import Dataset
     from metagenomics_tpu.graph import OverlapGraph
@@ -53,14 +54,14 @@ def _unitig(se, engine, frac=None, monkeypatch=None):
         cfg = AssemblerConfig(min_overlap=40, single_end_files=[se])
         g = OverlapGraph(ds, cfg, log=_quiet)
         if engine == "hybrid":
-            assert g.build_hybrid(), "hybrid refused uniform dataset"
+            assert g.build_hybrid(), "hybrid refused dataset"
         else:
             assert g.build_full_native()
-        import io
         import tempfile
         with tempfile.NamedTemporaryFile(suffix=".unitig") as tf:
             g.save_graph_to_file(tf.name)
-            return open(tf.name, "rb").read()
+            return (open(tf.name, "rb").read(),
+                    tuple(ds.super_read_id.tolist()))
     finally:
         os.environ.pop("MGTPU_HYBRID_CPU_FRAC", None)
 
@@ -73,23 +74,23 @@ def test_hybrid_unitig_equal(tmp_path, frac):
     se = _mkreads(tmp_path)
     a = _unitig(se, "hybrid", frac)
     b = _unitig(se, "native")
-    assert a == b and len(a) > 0
+    assert a == b and len(a[0]) > 0
 
 
-def test_hybrid_mixed_fallback():
-    """Mixed-length datasets must refuse (containment spans shards)."""
+@pytest.mark.parametrize("name,frac", [
+    ("se_mixlen.fasta", 0.5), ("se_mixlen.fasta", 0.9),
+    ("se_heap.fasta", 0.7)])
+def test_hybrid_mixed_lengths(name, frac):
+    """Mixed-length datasets: containment resolved globally across the
+    shards — supers and the unitig graph must match the native engine."""
     from metagenomics_tpu import native
-    from metagenomics_tpu.config import AssemblerConfig
-    from metagenomics_tpu.dataset import Dataset
-    from metagenomics_tpu.graph import OverlapGraph
-
     if native.get_lib() is None:
         pytest.skip("native library unavailable")
-    se = os.path.join(GOLDEN, "se_mixlen.fasta")
-    ds = Dataset([], [se], 40, log=_quiet)
-    cfg = AssemblerConfig(min_overlap=40, single_end_files=[se])
-    g = OverlapGraph(ds, cfg, log=_quiet)
-    assert g.build_hybrid() is False
+    se = os.path.join(GOLDEN, name)
+    a = _unitig(se, "hybrid", frac)
+    b = _unitig(se, "native")
+    assert a[1] == b[1], "supers differ"
+    assert a[0] == b[0] and len(a[0]) > 0
 
 
 def test_hybrid_cli_engine(tmp_path):
