@@ -38,15 +38,17 @@ class Assembler:
         """Run the construction phase with the selected overlap engine.
 
         Engines (env MGTPU_OVERLAP_ENGINE or config):
-          native  — full C++ engine (index/scan/verify/BFS); default when the
-                    library builds, best on hosts with slow device links
-          device  — fully device-resident JAX pipeline (single chip)
+          native  — full C++ engine (index/scan/verify/BFS); best on hosts
+                    with slow device links
+          device  — fully device-resident JAX pipeline (single chip),
+                    canonical-dedup stream + on-device containment
+          hybrid  — device shard + concurrent CPU shard with exact
+                    canonical merge; auto on single-chip TPU backends
           sharded — SPMD pipeline over the ("dp", "ix") device mesh
-                    (parallel/sharded.py); auto-selected on a multi-chip
-                    TPU backend
+                    (parallel/sharded.py); auto on multi-chip TPU backends
           host    — numpy join + device verify (reference fallback)
-        All four produce byte-identical graphs (tests/test_golden.py,
-        tests/test_sharded.py).
+        All five produce byte-identical graphs (tests/test_golden.py,
+        tests/test_hybrid.py, tests/test_sharded.py).
         """
         import os
         from .utils.timing import phase_clock
@@ -75,9 +77,9 @@ class Assembler:
                 raise RuntimeError("native overlap engine unavailable")
         if engine == "hybrid":
             # CPU scan of reads [1, a) concurrent with the device shard
-            # [a, n]; canonical streams merge exactly (graph/build.py
-            # build_hybrid).  Falls back to the device pipeline for
-            # mixed-length datasets.
+            # [a, n]; canonical streams merge exactly, with global
+            # cross-shard containment for mixed-length datasets
+            # (graph/build.py build_hybrid).
             if graph.build_hybrid():
                 return
             from .ops.device_overlap import DeviceOverlapPipeline

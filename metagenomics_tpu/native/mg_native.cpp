@@ -1420,8 +1420,10 @@ void *mg_build_stream_canon_words(int64_t n_reads, const int64_t *lengths,
 // are keyed by their SMALLER endpoint, a CPU scan of [1, a) and a device
 // scan of [a, n] partition the overlap set exactly: concatenating the two
 // word streams (CPU first) reproduces the full canonical stream for
-// mg_build_stream_canon_words.  Uniform-length datasets only (the hybrid
-// driver falls back when containment is involved).
+// mg_build_stream_canon_words.  In mixed mode the scan also returns the
+// shard's containment hits in discovery order; the host resolves supers
+// GLOBALLY across both shards and masks the edge streams symmetrically
+// (graph/build.py _resolve_supers).
 struct ScanCanonResult {
     std::vector<int64_t> counts;
     std::vector<uint32_t> words;
