@@ -26,17 +26,24 @@ per-probe binary searches:
   chain (no gather),
 * survivors are compacted AND put in the reference's discovery order
   (read asc, position asc, bucket order) by one stable sort, then
-  downloaded as a packed stream plus per-read counts -- the exact input of
-  the threaded native replay (native/mg_native.cpp mg_build_stream).
+  downloaded as a packed stream plus per-read counts,
+* the production path is CANONICAL: only the smaller-endpoint occurrence
+  of each overlap crosses the link (stream_canon; half the download), the
+  native replay reconstructs the mirrors and per-read discovery order
+  arithmetically (mg_build_stream_canon_words), and for mixed-length
+  datasets the containment rule runs ON DEVICE as segment reductions over
+  discovery order (_cont_canon) so contained hits never cross at all.
+  A row-shard mode (row_lo) probes only reads [row_lo, n) against the
+  full index — the hybrid engine's device shard.
 
 Hash collisions are harmless: verification compares the full window
 including the seed, so the accepted candidate set is exactly the
 reference's.  Work is tiled into row chunks whose candidate totals fit a
-fixed-capacity buffer, so each (queries, cap) tier compiles once and chunk
-downloads overlap the next chunk's compute via async dispatch.
+fixed-capacity buffer, so each (queries, cap) tier compiles once.
 
 meta layout (uint16): bits 0-1 edge orientation, bit 2 edge_ok,
-bit 3 cont_ok, bits 4-15 overlap offset (lengths < 4096 enforced).
+bit 3 cont_ok, bits 4-15 overlap offset (lengths < 4096 enforced); the
+canonical packed-u32 word is [r2 | meta-low-4 | offset:off_bits].
 """
 
 from functools import partial
@@ -602,8 +609,6 @@ class DeviceOverlapPipeline:
     """
 
     MAX_CAP = 1 << 23      # upper bound on a chunk's candidate buffer
-    CHUNK_TARGET = 1 << 21  # dedup-path chunk size: bounds buffer memory
-                            # and lets chunk fetches overlap later compute
 
     def __init__(self, dataset, min_overlap, chunk_rows=None, row_lo=0):
         self.ds = dataset

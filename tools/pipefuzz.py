@@ -97,8 +97,10 @@ def run_one(seed):
     os.makedirs(rd); os.makedirs(od)
     r1 = subprocess.run([REF, *args, "-f", "x_", "-l", l_opt],
                         cwd=rd, capture_output=True, timeout=600)
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
-               MG_ENGINE=os.environ.get("FUZZ_ENGINE", "host"))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    if os.environ.get("FUZZ_ENGINE"):
+        # select the overlap engine under test (default: the CLI's auto)
+        env["MGTPU_OVERLAP_ENGINE"] = os.environ["FUZZ_ENGINE"]
     r2 = subprocess.run([sys.executable, "-m", "metagenomics_tpu.cli",
                          *args, "-f", "x_", "-l", l_opt],
                         cwd=od, capture_output=True, timeout=900, env=env)
