@@ -79,10 +79,12 @@ def test_degenerate_native(case, tmp_path):
     assert b"Traceback" not in blob, blob[-2000:]
 
 
-@pytest.mark.parametrize("engine", ["host", "device"])
+@pytest.mark.parametrize("engine", ["host", "device", "hybrid"])
 def test_degenerate_other_engines_spot(engine, tmp_path):
-    """host/device engines share the dataset + flow paths; spot-check the
-    two engine-specific failure modes (0 good reads, empty candidate set)."""
+    """host/device/hybrid engines share the dataset + flow paths;
+    spot-check the two engine-specific failure modes (0 good reads, empty
+    candidate set).  hybrid falls back to the device pipeline below its
+    read-count floor, which these tiny inputs exercise."""
     cases = _write_cases(tmp_path)
     for case in ("tiny", "one"):
         rc, needle = EXPECT[case]
