@@ -59,22 +59,25 @@ def check_flow_output(name, got_path, want_path):
     assert got == want, "_flow.output mismatch: %s" % name
 
 
-@pytest.mark.parametrize("engine", ["native", "python", "device"])
+@pytest.mark.parametrize("engine", ["native", "python", "device", "hybrid"])
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_golden_config(name, engine, tmp_path):
     """Full-CLI byte-equality per engine.  The `device` row runs the
     JAX overlap pipeline (ops/device_overlap.py, canonical stream +
     native replay) end-to-end on the CPU backend — identical program,
     portable semantics; bench.py's TPU kernel check covers the
-    backend-specific Pallas path."""
+    backend-specific Pallas path.  The `hybrid` row exercises the
+    CPU+device shard split with global cross-shard containment (small
+    goldens fall back to the device pipeline below the read-count floor
+    — both paths of the engine dispatch get covered across configs)."""
     args = CONFIGS[name]
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"   # don't contend for the TPU tunnel in tests
     if engine == "python":
         env["MGTPU_NO_NATIVE"] = "1"
-    elif engine == "device":
-        env["MGTPU_OVERLAP_ENGINE"] = "device"
+    elif engine in ("device", "hybrid"):
+        env["MGTPU_OVERLAP_ENGINE"] = engine
     proc = subprocess.run(
         [sys.executable, "-m", "metagenomics_tpu.cli", *args, "-f", "t_",
          "-l", "40"],
