@@ -134,6 +134,30 @@ def test_device_stream_canon(name):
     assert ((cmeta >> 4) == (meta[keep] >> 4)).all()
 
 
+def test_multichunk_stream_canon():
+    """The canonical stream must be invariant to chunking: forcing a tiny
+    candidate buffer (many chunks) reproduces the single-chunk records
+    exactly (counts and packed words)."""
+    from metagenomics_tpu.dataset import Dataset
+    from metagenomics_tpu.ops.device_overlap import DeviceOverlapPipeline
+
+    se = os.path.join(GOLDEN, "se_hard.fasta")
+    ds = Dataset([], [se], 40, log=_quiet)
+    p1 = DeviceOverlapPipeline(ds, 40)
+    c1, w1, _, _ = p1.stream_canon(check_cont=False)
+    old_cap = DeviceOverlapPipeline.MAX_CAP
+    try:
+        DeviceOverlapPipeline.MAX_CAP = 1 << 14
+        p2 = DeviceOverlapPipeline(ds, 40)
+        _, _, chunks = p2._plan_chunks()
+        assert len(chunks) > 1, "cap override produced a single chunk"
+        c2, w2, _, _ = p2.stream_canon(check_cont=False)
+    finally:
+        DeviceOverlapPipeline.MAX_CAP = old_cap
+    assert (c1 == c2).all()
+    assert len(w1) == len(w2) and (w1 == w2).all()
+
+
 def test_sharded_stream_canon():
     """The sharded pipeline's canonical stream must agree record-for-
     record with the host-side canonical filter over its full stream
