@@ -853,6 +853,27 @@ def main():
                 }
         except Exception:
             pass
+    # per-engine 1M-read construction rates on the REAL backend
+    # (tools/measure_engines_1m.py): the 200k set is small enough that
+    # the tunneled link's fixed costs dominate the device engine's wall;
+    # at 1M reads they amortize and the device engine clears 10x
+    # end-to-end under either baseline
+    e1m_path = os.path.join(REPO, "SCALE_1M_ENGINES.json")
+    if os.path.exists(e1m_path):
+        try:
+            with open(e1m_path) as f:
+                e1m = json.load(f)
+            record["scale_1m_engines"] = {
+                "n_unique_reads": e1m.get("n_unique_reads"),
+                "backend": e1m.get("backend"),
+                "engines": e1m.get("engines"),
+                "reference_reads_per_s_at_1m":
+                    e1m.get("reference_O0", {}).get("reads_per_s"),
+                "unitig_equal_reference":
+                    e1m.get("unitig_equal_reference"),
+            }
+        except Exception:
+            pass
     print(json.dumps(record))
 
 
