@@ -56,7 +56,16 @@ struct Edge {
     int32_t destination;    // dense 1..numberOfUniqueReads)
     int32_t orient;
     int64_t offset;
+    // interior-read manifest.  Storage may be REVERSED (man_rev) so chain
+    // contraction can always move the larger side's vector and append the
+    // smaller side — O(min) per merge instead of O(sum), which turns
+    // long-chain contraction from quadratic to ~linear on low-coverage
+    // data.  man_sum caches the sum of the STORED uint16 offsets (order-
+    // independent), replacing the per-merge O(len) walk.  Readers outside
+    // the fixpoint see normalized storage (finalize_locations flips).
     std::vector<Man> man;
+    bool man_rev = false;
+    int64_t man_sum = 0;
     Edge *twin = nullptr;
     int64_t serial = 0;
     bool transitive = false;
@@ -158,6 +167,8 @@ struct Graph {
         e->serial = ++serial;
         e->twin = nullptr;
         e->transitive = false;
+        e->man_rev = false;
+        e->man_sum = 0;
         return e;
     }
 
@@ -175,6 +186,13 @@ struct Graph {
             int64_t i = nodes[ni];
             for (const AdjE &a : adj[i]) {
                 Edge *e = a.e;
+                // normalize reversed manifest storage (merge_list) before
+                // anything outside the fixpoint reads it; idempotent, and
+                // each edge belongs to exactly one bucket's node set
+                if (e->man_rev) {
+                    std::reverse(e->man.begin(), e->man.end());
+                    e->man_rev = false;
+                }
                 int64_t dist = 0;
                 for (size_t k = 0; k < e->man.size(); k++) {
                     dist += e->man[k].off;
@@ -262,18 +280,51 @@ struct Graph {
         if (unlinked == 2) free_edge_pair(e);
     }
 
-    void merge_list(const Edge *e1, const Edge *e2, Edge *out) {
-        out->man.reserve(e1->man.size() + e2->man.size() + 1);
-        out->man = e1->man;
-        int64_t sum = 0;
-        for (const Man &m : e1->man) sum += m.off;
+    static void extend_back(std::vector<Man> &v, const std::vector<Man> &s,
+                            bool reversed_iter) {
+        if (!reversed_iter) v.insert(v.end(), s.begin(), s.end());
+        else v.insert(v.end(), s.rbegin(), s.rend());
+    }
+
+    // Assemble out.man = [man(e1), common, man(e2)] (logical order),
+    // CONSUMING e1/e2's manifests: the larger side's vector is moved and
+    // the smaller appended, using reversed storage when the big side is
+    // the suffix.  Occasional O(big) normalization flips happen only when
+    // an accumulated edge alternates prefix/suffix roles.
+    void merge_list(Edge *e1, Edge *e2, Edge *out) {
         Man common;
         common.rid = (int32_t)e1->destination;
-        common.off = (uint16_t)((e1->offset - sum) & 0xFFFF);
+        common.off = (uint16_t)((e1->offset - e1->man_sum) & 0xFFFF);
         common.orient = (e1->orient == 1 || e1->orient == 3) ? 1 : 0;
         common._pad = 0;
-        out->man.push_back(common);
-        out->man.insert(out->man.end(), e2->man.begin(), e2->man.end());
+        out->man_sum = e1->man_sum + common.off + e2->man_sum;
+        size_t n1 = e1->man.size(), n2 = e2->man.size();
+        if (n1 >= n2) {
+            if (e1->man_rev) {
+                std::reverse(e1->man.begin(), e1->man.end());
+                e1->man_rev = false;
+            }
+            out->man = std::move(e1->man);
+            out->man_rev = false;
+            out->man.reserve(n1 + n2 + 1);
+            out->man.push_back(common);
+            extend_back(out->man, e2->man, e2->man_rev);
+        } else {
+            if (!e2->man_rev) {
+                std::reverse(e2->man.begin(), e2->man.end());
+                e2->man_rev = true;
+            }
+            out->man = std::move(e2->man);
+            out->man_rev = true;
+            out->man.reserve(n1 + n2 + 1);
+            out->man.push_back(common);
+            // logical prepend of e1 = storage append in logical-reverse
+            extend_back(out->man, e1->man, !e1->man_rev);
+        }
+        e1->man.clear();
+        e2->man.clear();
+        e1->man_rev = e2->man_rev = false;
+        e1->man_sum = e2->man_sum = 0;
     }
 
     // Construction-phase mergeEdges: flows are all zero pre-flow, so both
