@@ -546,12 +546,17 @@ class ShardedOverlapPipeline:
                 pos = jnp.arange(m_blk, dtype=jnp.int32) + start_eff
                 livem = (pos >= start) & (pos < start + bsz)
                 if dedup:
-                    # canonical-dedup mode (uniform lengths): keep only
-                    # the smaller-endpoint occurrence; the native replay
-                    # reconstructs the mirrors (mg_build_stream_canon)
+                    # canonical-dedup mode: keep only the smaller-endpoint
+                    # occurrence of each edge; the native replay
+                    # reconstructs the mirrors (mg_build_stream_canon).
+                    # dedup == "cont" additionally keeps every containment
+                    # hit (either id order) for the host's global
+                    # resolution, like ops/device_overlap's mixed mode.
                     br1g = (blk(sqid).astype(jnp.int32)
                             & jnp.int32(0x7FFFFFFF)) // npos
                     bkeep = livem & edge_ok & (br1g <= br2)
+                    if dedup == "cont":
+                        bkeep = bkeep | (livem & cont_ok)
                 else:
                     bkeep = livem & (edge_ok | cont_ok)
                 fe = (eo | (edge_ok.astype(jnp.int32) << 2)
@@ -623,20 +628,40 @@ class ShardedOverlapPipeline:
         """Canonical (deduplicated) survivor stream in the packed-word
         contract of DeviceOverlapPipeline.stream_canon — halves the
         cross-ix all_gather payload AND the device->host download.
-        Uniform-length datasets only (containment needs the full
-        stream); returns None to let the caller fall back."""
-        if check_cont:
-            return None
+
+        Mixed-length datasets (check_cont=True): the kernel keeps every
+        containment hit alongside the canonical (sup-UNFILTERED) edges;
+        the host resolves supers globally with the same vectorized
+        first-wins/longest-replaces rule as the hybrid engine and masks
+        the edge stream before the replay."""
         ob = dov.canon_off_bits(self.n1 - 1, self.lmax, self.hash_len + 1)
         if ob < 0:
             return None
         self.off_bits = ob
-        counts, r2, meta = self.stream(check_cont=False, dedup=True)
-        words = ((r2.astype(np.uint32) << np.uint32(4 + ob))
-                 | ((meta.astype(np.uint32) & np.uint32(15))
-                    << np.uint32(ob))
-                 | (meta.astype(np.uint32) >> np.uint32(4)))
-        return counts, words, None, None
+
+        def pack(r2, meta):
+            return ((r2.astype(np.uint32) << np.uint32(4 + ob))
+                    | ((meta.astype(np.uint32) & np.uint32(15))
+                       << np.uint32(ob))
+                    | (meta.astype(np.uint32) >> np.uint32(4)))
+
+        if not check_cont:
+            counts, r2, meta = self.stream(check_cont=False, dedup=True)
+            return counts, pack(r2, meta), None, None
+
+        counts, r2, meta = self.stream(check_cont=True, dedup="cont")
+        from ..graph.build import _resolve_supers
+        n = self.n1 - 1
+        r1 = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        r2_64 = r2.astype(np.int64)
+        cont = (meta & 8) != 0
+        supers, firsthit = _resolve_supers(
+            r1[cont], r2_64[cont], self.ds.lengths, n)
+        keep = (((meta & 4) != 0) & (r1 <= r2_64)
+                & (supers[r1] == 0) & (supers[r2_64] == 0))
+        ccounts = np.zeros(len(counts), np.int64)
+        np.add.at(ccounts, r1[keep], 1)
+        return ccounts, pack(r2[keep], meta[keep]), supers, firsthit
 
     def stream(self, check_cont=True, download=True, dedup=False):
         """Survivor stream in reference discovery order: (counts [n1] int64,
